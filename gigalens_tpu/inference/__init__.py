@@ -1,0 +1,17 @@
+from gigalens_tpu.inference.hmc import HMCResult, fit_hmc, sample_hmc
+from gigalens_tpu.inference.map import best_start, fit_map
+from gigalens_tpu.inference.sequence import ModellingSequence
+from gigalens_tpu.inference.smc import SMCResult, fit_smc
+from gigalens_tpu.inference.svi import fit_svi
+
+__all__ = [
+    "ModellingSequence",
+    "fit_map",
+    "best_start",
+    "fit_svi",
+    "fit_hmc",
+    "sample_hmc",
+    "HMCResult",
+    "fit_smc",
+    "SMCResult",
+]

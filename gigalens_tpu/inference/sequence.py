@@ -1,0 +1,141 @@
+"""ModellingSequence: the MAP -> SVI -> HMC (/ SMC) pipeline facade.
+
+API parity with the reference ``ModellingSequence``
+(``src/gigalens/jax/inference.py:23-311``), with every phase running as a
+device-resident jitted program over a sample-sharded mesh. Each phase method
+builds its own ``LensSimulator`` with the right batch size, like the reference.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import optax
+
+from gigalens_tpu.inference.hmc import fit_hmc
+from gigalens_tpu.inference.map import best_start, fit_map
+from gigalens_tpu.inference.smc import fit_smc
+from gigalens_tpu.inference.svi import fit_svi
+from gigalens_tpu.parallel import mesh as pmesh
+from gigalens_tpu.simulator import LensSimulator
+
+
+class ModellingSequence:
+    def __init__(self, phys_model, prob_model, sim_config, mesh=None):
+        self.phys_model = phys_model
+        self.prob_model = prob_model
+        self.sim_config = sim_config
+        self.mesh = mesh if mesh is not None else pmesh.default_mesh()
+
+    def _sim(self, bs: int) -> LensSimulator:
+        return LensSimulator(self.phys_model, self.sim_config, bs=bs)
+
+    def MAP(
+        self,
+        optimizer: optax.GradientTransformation,
+        start=None,
+        n_samples: int = 500,
+        num_steps: int = 350,
+        seed: int = 0,
+    ):
+        n_samples = pmesh.round_to_multiple(n_samples, self.mesh.size)
+        sim = self._sim(n_samples)
+        z, _ = fit_map(
+            self.prob_model,
+            sim,
+            optimizer,
+            start=start,
+            n_samples=n_samples,
+            num_steps=num_steps,
+            seed=seed,
+            mesh=self.mesh,
+        )
+        return z
+
+    def best_map_start(self, z):
+        """Highest-posterior MAP sample, shaped (1, d) for SVI."""
+        sim = self._sim(z.shape[0])
+        return best_start(self.prob_model, sim, z)
+
+    def SVI(
+        self,
+        start,
+        optimizer: optax.GradientTransformation,
+        n_vi: int = 250,
+        init_scales=1e-3,
+        num_steps: int = 500,
+        seed: int = 0,
+    ):
+        n_vi = pmesh.round_to_multiple(n_vi, self.mesh.size)
+        sim = self._sim(n_vi)
+        return fit_svi(
+            self.prob_model,
+            sim,
+            start,
+            optimizer,
+            n_vi=n_vi,
+            init_scales=init_scales,
+            num_steps=num_steps,
+            seed=seed,
+            mesh=self.mesh,
+        )
+
+    def HMC(
+        self,
+        q_z,
+        init_eps: float = 0.3,
+        init_l: int = 3,
+        n_hmc: int = 50,
+        num_burnin_steps: int = 250,
+        num_results: int = 750,
+        max_leapfrog_steps: int = 30,
+        seed: int = 0,
+    ):
+        n_hmc = pmesh.round_to_multiple(n_hmc, self.mesh.size)
+        sim = self._sim(n_hmc)
+        return fit_hmc(
+            self.prob_model,
+            sim,
+            q_z,
+            init_eps=init_eps,
+            init_l=init_l,
+            n_hmc=n_hmc,
+            num_burnin_steps=num_burnin_steps,
+            num_results=num_results,
+            max_leapfrog_steps=max_leapfrog_steps,
+            seed=seed,
+            mesh=self.mesh,
+        )
+
+    def SMC(
+        self,
+        start=None,
+        num_particles: int = 1000,
+        num_ensembles: int = 1,
+        num_leapfrog_steps: int = 10,
+        post_sampling_steps: int = 100,
+        ess_threshold_ratio: float = 0.8,
+        max_sampling_per_stage: int = 8,
+        max_stage: int = 100,
+        target: str = "pixels",
+        auxiliar: str = "positions",
+        seed: int = 1,
+    ):
+        n = num_particles * num_ensembles
+        sim = self._sim(n)
+        return fit_smc(
+            self.prob_model,
+            sim,
+            start=start,
+            num_particles=num_particles,
+            num_ensembles=num_ensembles,
+            num_leapfrog_steps=num_leapfrog_steps,
+            post_sampling_steps=post_sampling_steps,
+            ess_threshold_ratio=ess_threshold_ratio,
+            max_sampling_per_stage=max_sampling_per_stage,
+            max_stage=max_stage,
+            target=target,
+            auxiliar=auxiliar,
+            seed=seed,
+            mesh=self.mesh,
+        )

@@ -1,0 +1,259 @@
+"""Sequential Monte Carlo with adaptive tempering.
+
+Pure-JAX replacement for the reference's
+``tfe.mcmc.sample_sequential_monte_carlo`` driver
+(``src/gigalens/jax/inference.py:210-324``), keeping its semantics:
+
+  * tempered target ``prior + aux + (like - aux) * beta`` where ``like`` and
+    ``aux`` are selectable among {pixels, positions, none} — the auxiliary
+    likelihood stays on at full strength while the target likelihood is
+    annealed in (``:314-324``);
+  * per-ensemble adaptive temperature steps chosen by bisection so the
+    effective sample size of the incremental weights stays at
+    ``ess_threshold_ratio * num_particles``;
+  * systematic resampling;
+  * HMC move kernels with per-particle step-size scalings tuned toward an
+    0.651 acceptance rate, and a per-stage move count chosen like TFP's
+    ``simple_heuristic_tuning`` (enough moves for ~95% probability that a
+    particle moves at least once, capped at ``max_sampling_per_stage``).
+
+The whole run is one ``lax.while_loop`` over stages — no host round-trips.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class SMCResult(NamedTuple):
+    particles: jnp.ndarray       # (P, E, d) final particles at beta = 1
+    num_stages: jnp.ndarray      # scalar int
+    log_scalings: jnp.ndarray    # (P, E) final per-particle step-size logs
+    post_samples: jnp.ndarray    # (post_steps, P*E, d) optional HMC chain
+    final_beta: jnp.ndarray      # (E,) 1.0 unless max_stage was hit first
+
+
+def _systematic_resample(key, logw, z_extra):
+    """Systematic resampling along axis 0. logw: (P,), z_extra: pytree of (P, ...)."""
+    p = logw.shape[0]
+    w = jax.nn.softmax(logw, axis=0)
+    cdf = jnp.cumsum(w)
+    u = jax.random.uniform(key, ())
+    pts = (jnp.arange(p) + u) / p
+    idx = jnp.searchsorted(cdf, pts)
+    idx = jnp.clip(idx, 0, p - 1)
+    return jax.tree_util.tree_map(lambda a: a[idx], z_extra)
+
+
+def fit_smc(
+    prob_model,
+    simulator,
+    start=None,
+    num_particles: int = 1000,
+    num_ensembles: int = 1,
+    num_leapfrog_steps: int = 10,
+    post_sampling_steps: int = 100,
+    ess_threshold_ratio: float = 0.8,
+    max_sampling_per_stage: int = 8,
+    min_sampling_per_stage: int = 1,
+    max_stage: int = 100,
+    target: str = "pixels",
+    auxiliar: str = "positions",
+    optimal_accept: float = 0.651,
+    seed: int = 1,
+    mesh=None,
+):
+    P, E = num_particles, num_ensembles
+    n = P * E
+    d = prob_model.prior.d
+    key = jax.random.PRNGKey(seed)
+    key, k_init = jax.random.split(key)
+
+    if start is None:
+        x0 = prob_model.prior.sample(k_init, (P, E))
+        z0 = prob_model.prior.unconstrain(x0)
+    else:
+        start = jnp.asarray(start)
+        idx = jax.random.choice(k_init, start.shape[0], (P, E), replace=False)
+        z0 = start[idx]
+
+    def _stats(name):
+        if name == "pixels":
+            return lambda x: prob_model.stats_pixels(simulator, x)[0]
+        if name == "positions":
+            return lambda x: prob_model.stats_positions(simulator, x)[0]
+        if name == "none":
+            return lambda x: jnp.zeros((n,))
+        raise ValueError(f"unknown likelihood selector: {name}")
+
+    target_fn = _stats(target)
+    aux_fn = _stats(auxiliar)
+
+    def like_parts(z_pe):
+        """z: (P, E, d) -> (like, aux, prior) each (P, E)."""
+        z = z_pe.reshape(n, d)
+        x = prob_model.prior.constrain(z)
+        like = target_fn(x).reshape(P, E)
+        aux = aux_fn(x).reshape(P, E)
+        lp = prob_model.prior.log_prob_z(z).reshape(P, E)
+        return like, aux, lp
+
+    def tempered(z_pe, beta):
+        """Tempered log target, (P, E); beta: (E,)."""
+        like, aux, lp = like_parts(z_pe)
+        return lp + aux + (like - aux) * beta[None, :]
+
+    def find_delta(incr, beta):
+        """Per-ensemble bisection for the temperature increment.
+
+        incr: (P, E) = like - aux. Chooses delta in (0, 1-beta] with
+        ESS(exp(delta * incr)) ~= ess_threshold_ratio * P.
+        """
+        target_log_ess = jnp.log(ess_threshold_ratio * P)
+
+        def log_ess(delta):  # delta: (E,)
+            logw = delta[None, :] * incr
+            return 2 * jax.scipy.special.logsumexp(logw, axis=0) - \
+                jax.scipy.special.logsumexp(2 * logw, axis=0)
+
+        lo = jnp.zeros((E,))
+        hi = 1.0 - beta
+
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            too_small_ess = log_ess(mid) < target_log_ess  # step too big
+            hi = jnp.where(too_small_ess, mid, hi)
+            lo = jnp.where(too_small_ess, lo, mid)
+            return lo, hi
+
+        lo, hi = jax.lax.fori_loop(0, 30, body, (lo, hi))
+        # If even the full remaining step keeps ESS above target, jump to 1.
+        full_ok = log_ess(1.0 - beta) >= target_log_ess
+        return jnp.where(full_ok, 1.0 - beta, 0.5 * (lo + hi))
+
+    def hmc_move(key, z, lp_val, beta, log_scalings):
+        """One HMC step per particle at the tempered target (identity mass)."""
+        eps = jnp.exp(log_scalings)[..., None]  # (P, E, 1)
+
+        lp_fn = lambda zz: tempered(zz, beta)
+
+        def lp_and_grad(zz):
+            lp, vjp = jax.vjp(lp_fn, zz)
+            (g,) = vjp(jnp.ones_like(lp))
+            return lp, g
+
+        k_mom, k_acc = jax.random.split(key)
+        p0 = jax.random.normal(k_mom, z.shape, z.dtype)
+        _, g = lp_and_grad(z)
+        p = p0 + 0.5 * eps * g
+
+        def leap(_, carry):
+            z, p, lp, g = carry
+            z = z + eps * p
+            lp, g = lp_and_grad(z)
+            p = p + eps * g
+            return z, p, lp, g
+
+        z_new, p_new, lp_new, g_new = jax.lax.fori_loop(
+            0, num_leapfrog_steps, leap, (z, p, lp_val, g)
+        )
+        p_new = p_new - 0.5 * eps * g_new
+
+        kin0 = 0.5 * jnp.sum(p0**2, -1)
+        kin1 = 0.5 * jnp.sum(p_new**2, -1)
+        log_accept = (lp_new - kin1) - (lp_val - kin0)
+        log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
+        u = jax.random.uniform(k_acc, log_accept.shape, minval=1e-10)
+        accept = jnp.log(u) < log_accept
+        z = jnp.where(accept[..., None], z_new, z)
+        lp_val = jnp.where(accept, lp_new, lp_val)
+        return z, lp_val, jnp.minimum(1.0, jnp.exp(log_accept))
+
+    init_log_scaling = float(np.log(min(1.0, 2.38**2 / d)))
+
+    class _State(NamedTuple):
+        key: jnp.ndarray
+        z: jnp.ndarray            # (P, E, d)
+        beta: jnp.ndarray         # (E,)
+        log_scalings: jnp.ndarray  # (P, E)
+        num_steps: jnp.ndarray    # () int
+        stage: jnp.ndarray        # () int
+
+    def cond(s: _State):
+        return (jnp.min(s.beta) < 1.0) & (s.stage < max_stage)
+
+    def stage_body(s: _State):
+        key, k_res, k_move = jax.random.split(s.key, 3)
+
+        like, aux, _ = like_parts(s.z)
+        incr = like - aux
+        delta = find_delta(incr, s.beta)
+        beta_new = jnp.minimum(1.0, s.beta + delta)
+        logw = (beta_new - s.beta)[None, :] * incr  # (P, E)
+
+        # systematic resampling per ensemble (vmap over E on axis 1)
+        res_keys = jax.random.split(k_res, E)
+        z_t = jnp.swapaxes(s.z, 0, 1)               # (E, P, d)
+        ls_t = jnp.swapaxes(s.log_scalings, 0, 1)   # (E, P)
+        z_t, ls_t = jax.vmap(
+            lambda k, lw, z, ls: _systematic_resample(k, lw, (z, ls))
+        )(res_keys, jnp.swapaxes(logw, 0, 1), z_t, ls_t)
+        z = jnp.swapaxes(z_t, 0, 1)
+        log_scalings = jnp.swapaxes(ls_t, 0, 1)
+
+        # MCMC moves at the new temperature
+        lp_val = tempered(z, beta_new)
+
+        def move(i, carry):
+            z, lp_val, acc_sum, k = carry
+            k, k_step = jax.random.split(k)
+            z, lp_val, acc = hmc_move(k_step, z, lp_val, beta_new, log_scalings)
+            return z, lp_val, acc_sum + acc, k
+
+        z, lp_val, acc_sum, _ = jax.lax.fori_loop(
+            0, s.num_steps, move, (z, lp_val, jnp.zeros((P, E)), k_move)
+        )
+        avg_accept = acc_sum / s.num_steps.astype(jnp.float32)  # (P, E)
+
+        # --- heuristic tuning (TFP simple_heuristic_tuning analogue) -------
+        mean_accept = jnp.mean(avg_accept, axis=0, keepdims=True)  # (1, E)
+        log_scalings = log_scalings + (mean_accept - optimal_accept)
+        log_scalings = jnp.clip(log_scalings, -10.0, 2.0)
+        p_move = jnp.clip(jnp.mean(avg_accept), 1e-3, 1 - 1e-4)
+        num_steps = jnp.ceil(jnp.log1p(-0.95) / jnp.log1p(-p_move)).astype(jnp.int32)
+        num_steps = jnp.clip(num_steps, min_sampling_per_stage, max_sampling_per_stage)
+
+        return _State(key, z, beta_new, log_scalings, num_steps, s.stage + 1)
+
+    @jax.jit
+    def run(z0, key):
+        s0 = _State(
+            key=key,
+            z=z0,
+            beta=jnp.zeros((E,)),
+            log_scalings=jnp.full((P, E), init_log_scaling),
+            num_steps=jnp.asarray(max_sampling_per_stage, jnp.int32),
+            stage=jnp.asarray(0, jnp.int32),
+        )
+        s = jax.lax.while_loop(cond, stage_body, s0)
+
+        # optional post-SMC HMC chain at beta = 1 reusing tuned scalings
+        def post_step(carry, key):
+            z, lp_val = carry
+            z, lp_val, _ = hmc_move(key, z, lp_val, jnp.ones((E,)), s.log_scalings)
+            return (z, lp_val), z.reshape(n, d)
+
+        if post_sampling_steps > 0:
+            keys = jax.random.split(s.key, post_sampling_steps)
+            lp_val = tempered(s.z, jnp.ones((E,)))
+            _, post = jax.lax.scan(post_step, (s.z, lp_val), keys)
+        else:
+            post = jnp.zeros((0, n, d))
+        return s.z, s.stage, s.log_scalings, post, s.beta
+
+    z, stages, log_scalings, post, beta = run(z0, key)
+    return SMCResult(z, stages, log_scalings, post, beta)

@@ -1,0 +1,87 @@
+"""Stochastic variational inference with a full-rank MVN surrogate.
+
+Mirrors the reference SVI (``src/gigalens/jax/inference.py:82-144``): the
+variational family is MultivariateNormalTriL parameterized by
+``[mean, FillScaleTriL^{-1}(scale)]`` and the ELBO is a reparameterized
+Monte-Carlo estimate over ``n_vi`` samples. Unlike the reference (pmap +
+``lax.pmean`` + host optax each step, ``:123-139``), the whole fit is one
+jitted ``lax.scan``; the ELBO sample batch is sharded over the mesh so the
+gradient reduction compiles to a single ICI all-reduce.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gigalens_tpu.parallel import mesh as pmesh
+from gigalens_tpu.prob.bijectors import FillScaleTriL
+from gigalens_tpu.prob.distributions import MultivariateNormalTriL
+
+
+def fit_svi(
+    prob_model,
+    simulator,
+    start,
+    optimizer: optax.GradientTransformation,
+    n_vi: int = 250,
+    init_scales=1e-3,
+    num_steps: int = 500,
+    seed: int = 0,
+    mesh=None,
+):
+    """Returns (q_z: MultivariateNormalTriL, elbo_loss_history)."""
+    d = prob_model.prior.d
+    start = jnp.reshape(jnp.asarray(start), (d,))
+
+    scale0 = (
+        jnp.eye(d) * init_scales
+        if jnp.size(init_scales) == 1
+        else jnp.asarray(init_scales)
+    )
+    cov_bij = FillScaleTriL(d, diag_shift=1e-6)
+    qz_params = jnp.concatenate([start, cov_bij.inverse(scale0)], axis=0)
+
+    def unpack(qz_params):
+        mean = qz_params[:d]
+        tril = cov_bij.forward(qz_params[d:])
+        return mean, tril
+
+    half_log_2pi_d = 0.5 * d * jnp.log(2 * jnp.pi)
+
+    def elbo_loss(qz_params, key):
+        mean, tril = unpack(qz_params)
+        eps = jax.random.normal(key, (n_vi, d))
+        eps = pmesh.constrain_samples(eps, mesh)
+        z = mean + eps @ tril.T
+        # Pathwise log q(z(eps)) = -|eps|^2/2 - log det L - d/2 log 2pi.
+        # Algebraically identical to q.log_prob(z) but avoids the triangular
+        # solve of q's own samples, which is catastrophically ill-conditioned
+        # once L picks up large off-diagonal entries mid-optimization.
+        lp_q = (
+            -0.5 * jnp.sum(eps**2, axis=-1)
+            - jnp.sum(jnp.log(jnp.abs(jnp.diagonal(tril))))
+            - half_log_2pi_d
+        )
+        lp_model, _ = prob_model.log_prob(simulator, z)
+        return jnp.mean(lp_q - lp_model)
+
+    grad_fn = jax.value_and_grad(elbo_loss)
+
+    def step(carry, key):
+        qz_params, opt_state = carry
+        loss, grads = grad_fn(qz_params, key)
+        updates, opt_state = optimizer.update(grads, opt_state, qz_params)
+        qz_params = optax.apply_updates(qz_params, updates)
+        return (qz_params, opt_state), loss
+
+    @jax.jit
+    def run(qz_params, key):
+        opt_state = optimizer.init(qz_params)
+        keys = jax.random.split(key, num_steps)
+        (qz_params, _), losses = jax.lax.scan(step, (qz_params, opt_state), keys)
+        return qz_params, losses
+
+    qz_params, losses = run(qz_params, jax.random.PRNGKey(seed))
+    mean, tril = unpack(qz_params)
+    return MultivariateNormalTriL(mean, tril), losses

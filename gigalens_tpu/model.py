@@ -1,0 +1,261 @@
+"""Physical and probabilistic models.
+
+Re-implements the reference's L3 layer (``src/gigalens/jax/model.py``) on the
+pure-JAX probability stack in :mod:`gigalens_tpu.prob`:
+
+  * :class:`PhysicalModel` — bundles mass/light profile lists + fixed constants.
+  * :class:`ForwardProbModel` — pixel and/or multiple-image-position likelihood
+    with the forward-modeled Gaussian+Poisson noise map.
+  * :class:`BackwardProbModel` — observed-image noise map + linear-amplitude
+    (lstsq) simulation.
+
+All log-densities are computed on the unconstrained matrix ``z`` of shape
+``(bs, d)``; ``prior.constrain(z)`` maps to the physical params pytree and the
+Jacobian factor is added exactly as in the reference (``jax/model.py:135-137``).
+Unlike the reference there is no stateful ``init_centroids`` requirement: the
+batch-leading broadcasting makes position stats shape-agnostic (the method is
+kept as a no-op for API familiarity).
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from gigalens_tpu.prob.prior import Prior
+from gigalens_tpu.profiles.base import LightProfile, MassProfile
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+class PhysicalModel:
+    """Deflector + light profile lists with optional fixed constants.
+
+    Constants are per-profile dicts of parameters excluded from inference
+    (reference: ``src/gigalens/model.py:36-44``). Constant leaves are converted
+    to ``jnp`` arrays once, here.
+    """
+
+    def __init__(
+        self,
+        lenses: List[MassProfile],
+        lens_light: List[LightProfile],
+        source_light: List[LightProfile],
+        lenses_constants: Optional[List[Dict]] = None,
+        lens_light_constants: Optional[List[Dict]] = None,
+        source_light_constants: Optional[List[Dict]] = None,
+    ):
+        self.lenses = list(lenses)
+        self.lens_light = list(lens_light)
+        self.source_light = list(source_light)
+
+        def _conv(consts, profiles):
+            if consts is None:
+                consts = [dict() for _ in profiles]
+            return [{k: jnp.asarray(v) for k, v in d.items()} for d in consts]
+
+        self.lenses_constants = _conv(lenses_constants, lenses)
+        self.lens_light_constants = _conv(lens_light_constants, lens_light)
+        self.source_light_constants = _conv(source_light_constants, source_light)
+
+
+class ForwardProbModel:
+    """Forward-modeled likelihood over pixels and/or multiple-image positions."""
+
+    def __init__(
+        self,
+        prior: Prior,
+        observed_image=None,
+        background_rms=None,
+        exp_time=None,
+        error_map=None,
+        centroids_x=None,
+        centroids_y=None,
+        centroids_errors_x=None,
+        centroids_errors_y=None,
+        include_pixels=None,
+        include_positions=None,
+    ):
+        self.prior = prior
+        # Auto-detect from the provided data unless explicitly toggled.
+        if include_pixels is None:
+            include_pixels = observed_image is not None or error_map is not None
+        if include_positions is None:
+            include_positions = centroids_x is not None
+        self.include_pixels = bool(include_pixels)
+        self.include_positions = bool(include_positions)
+
+        self.observed_image = None
+        self.error_map = None
+        self.background_rms = None
+        self.exp_time = None
+
+        if self.include_pixels:
+            self.observed_image = jnp.asarray(observed_image, jnp.float32)
+            if error_map is not None:
+                self.error_map = jnp.asarray(error_map, jnp.float32)
+            else:
+                self.background_rms = jnp.float32(background_rms)
+                self.exp_time = jnp.float32(exp_time)
+
+        if self.include_positions:
+            self.centroids_x = [jnp.asarray(c, jnp.float32) for c in centroids_x]
+            self.centroids_y = [jnp.asarray(c, jnp.float32) for c in centroids_y]
+            self.centroids_errors_x = [
+                jnp.asarray(c, jnp.float32) for c in centroids_errors_x
+            ]
+            self.centroids_errors_y = [
+                jnp.asarray(c, jnp.float32) for c in centroids_errors_y
+            ]
+            self.n_position = 2 * int(
+                sum(np.size(np.asarray(c)) for c in centroids_x)
+            )
+        else:
+            self.n_position = 0
+
+    # API-compat no-op (the reference pre-tiles centroid arrays per batch size;
+    # batch-leading broadcasting makes that unnecessary here).
+    def init_centroids(self, bs):
+        return None
+
+    def event_size(self, simulator) -> int:
+        """Number of observed scalars; normalizes the MAP loss."""
+        n = 0
+        if self.include_pixels:
+            n += simulator.n_live_pix
+        if self.include_positions:
+            n += self.n_position
+        return n
+
+    # ------------------------------------------------------------------
+    def stats_pixels(self, simulator, params):
+        """(log_like, reduced_chi2) of the pixel data for constrained params."""
+        im_sim = simulator.simulate(params)  # (bs, H, W)
+        if self.error_map is not None:
+            err_map = self.error_map
+        else:
+            err_map = jnp.sqrt(self.background_rms**2 + im_sim / self.exp_time)
+        mask = simulator.img_region
+        resid = (im_sim - self.observed_image) / err_map
+        chi2 = jnp.sum(resid**2 * mask, axis=(-2, -1))
+        normalization = jnp.sum(
+            jnp.log(2 * np.pi * err_map**2) * mask, axis=(-2, -1)
+        )
+        log_like = -0.5 * (chi2 + normalization)
+        red_chi2 = chi2 / simulator.n_live_pix
+        return log_like, red_chi2
+
+    def stats_positions(self, simulator, params):
+        """(log_like, reduced_chi2) of multiple-image positions.
+
+        Image-plane centroids are ray-traced to the source plane; spread about
+        their barycentre is penalized with magnification-scaled errors
+        (reference: ``jax/model.py:92-114``).
+        """
+        lens_params = params["lens_mass"]
+        chi2 = 0.0
+        log_like = 0.0
+        for cx, cy, cex, cey in zip(
+            self.centroids_x,
+            self.centroids_y,
+            self.centroids_errors_x,
+            self.centroids_errors_y,
+        ):
+            beta_x, beta_y = simulator.beta(cx, cy, lens_params)  # (bs, n_img)
+            beta = jnp.stack([beta_x, beta_y], axis=-2)  # (bs, 2, n_img)
+            barycentre = jnp.mean(beta, axis=-1, keepdims=True)
+            magnifications = simulator.magnification(cx, cy, lens_params)
+            err = jnp.stack(
+                [cex / magnifications, cey / magnifications], axis=-2
+            )  # (bs, 2, n_img)
+            chi2_i = jnp.sum(((beta - barycentre) / err) ** 2, axis=(-2, -1))
+            norm_i = jnp.sum(jnp.log(2 * np.pi * err**2), axis=(-2, -1))
+            log_like = log_like + (-0.5) * (chi2_i + norm_i)
+            chi2 = chi2 + chi2_i
+        red_chi2 = chi2 / self.n_position
+        return log_like, red_chi2
+
+    # ------------------------------------------------------------------
+    def log_prob(self, simulator, z):
+        """Unconstrained log posterior and reduced chi2; z shaped (bs, d)."""
+        x = self.prior.constrain(z)
+        log_like = jnp.zeros(z.shape[:-1])
+        red_chi2 = jnp.zeros(z.shape[:-1])
+        n_chi = 0
+        if self.include_pixels:
+            ll, rc = self.stats_pixels(simulator, x)
+            log_like, red_chi2, n_chi = log_like + ll, red_chi2 + rc, n_chi + 1
+        if self.include_positions:
+            ll, rc = self.stats_positions(simulator, x)
+            log_like, red_chi2, n_chi = log_like + ll, red_chi2 + rc, n_chi + 1
+        red_chi2 = red_chi2 / max(n_chi, 1)
+        log_prior = self.prior.log_prob(x) + self.prior.fldj(z)
+        return log_like + log_prior, red_chi2
+
+    def log_like(self, simulator, z):
+        x = self.prior.constrain(z)
+        total = jnp.zeros(z.shape[:-1])
+        if self.include_pixels:
+            total = total + self.stats_pixels(simulator, x)[0]
+        if self.include_positions:
+            total = total + self.stats_positions(simulator, x)[0]
+        return total
+
+    def log_prior(self, z):
+        return self.prior.log_prob_z(z)
+
+    # Reference-compatible facade: bij.forward == constrain, bij.inverse with
+    # a constrained pytree == unconstrain.
+    @property
+    def bij(self):
+        prior = self.prior
+
+        class _Bij:
+            forward = staticmethod(prior.constrain)
+            inverse = staticmethod(prior.unconstrain)
+
+        return _Bij()
+
+
+class BackwardProbModel:
+    """Likelihood with observed-image noise and lstsq linear amplitudes."""
+
+    def __init__(self, prior: Prior, observed_image, background_rms, exp_time):
+        self.prior = prior
+        observed_image = jnp.asarray(observed_image, jnp.float32)
+        err_map = jnp.sqrt(
+            background_rms**2 + jnp.clip(observed_image, 0.0, np.inf) / exp_time
+        )
+        self.observed_image = observed_image
+        self.err_map = err_map
+        self._log_norm = -0.5 * jnp.sum(jnp.log(2 * np.pi * err_map**2))
+        self.include_pixels = True
+        self.include_positions = False
+        self.n_position = 0
+
+    def init_centroids(self, bs):
+        return None
+
+    def event_size(self, simulator) -> int:
+        return simulator.n_live_pix
+
+    def log_prob(self, simulator, z):
+        x = self.prior.constrain(z)
+        im_sim = simulator.lstsq_simulate(x, self.observed_image, self.err_map)
+        resid = (im_sim - self.observed_image) / self.err_map
+        chi2_pix = resid**2
+        log_like = -0.5 * jnp.sum(chi2_pix, axis=(-2, -1)) + self._log_norm
+        log_prior = self.prior.log_prob(x) + self.prior.fldj(z)
+        red_chi2 = jnp.mean(chi2_pix, axis=(-2, -1))
+        return log_like + log_prior, red_chi2
+
+    def log_like(self, simulator, z):
+        x = self.prior.constrain(z)
+        im_sim = simulator.lstsq_simulate(x, self.observed_image, self.err_map)
+        resid = (im_sim - self.observed_image) / self.err_map
+        return -0.5 * jnp.sum(resid**2, axis=(-2, -1)) + self._log_norm
+
+    def log_prior(self, z):
+        return self.prior.log_prob_z(z)

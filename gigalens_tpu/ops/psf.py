@@ -1,0 +1,183 @@
+"""PSF handling: subgrid resampling (host-side) and batched convolution.
+
+Replaces two reference dependencies:
+  * lenstronomy's ``subgrid_kernel`` (used at ``src/gigalens/jax/simulator.py:61``)
+    -> :func:`subgrid_kernel`, a host-side numpy/scipy resampler with iterative
+    flux correction.
+  * ``lax.conv`` direct PSF convolution (``jax/simulator.py:133``)
+    -> :func:`PSFConv`, which precomputes the kernel's rFFT once and convolves
+    the whole sample batch with two batched FFTs. For the reference benchmark
+    scene (supersampled 120x120 images, ~50x50 supersampled kernel, bs≈500)
+    direct convolution costs ~1.9e10 MACs per forward pass while the FFT path
+    costs ~1e8 flops — FFT is the TPU-friendly choice (BASELINE.json north
+    star). A direct ``lax.conv_general_dilated`` path is kept for small kernels
+    and for numerics cross-checks.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+
+# --------------------------------------------------------------------------
+# Host-side kernel preparation
+# --------------------------------------------------------------------------
+
+def _bilinear_resample(kernel: np.ndarray, factor: int, odd: bool = True) -> np.ndarray:
+    """Bilinear interpolation of ``kernel`` onto a grid ``factor``x finer.
+
+    The output grid is centered on the input grid's center; output size is
+    ``factor * n`` (forced to the nearest odd size when ``odd``).
+    """
+    n = kernel.shape[0]
+    m = factor * n
+    if odd and m % 2 == 0:
+        m += 1
+    # Coordinates of the fine grid in units of coarse pixels, center-aligned.
+    c_in = (n - 1) / 2.0
+    c_out = (m - 1) / 2.0
+    coords = (np.arange(m) - c_out) / factor + c_in
+    x0 = np.clip(np.floor(coords).astype(int), 0, n - 2)
+    w = coords - x0
+    w = np.clip(w, 0.0, 1.0)
+
+    # separable bilinear interpolation
+    rows = kernel[x0, :] * (1 - w)[:, None] + kernel[x0 + 1, :] * w[:, None]
+    out = rows[:, x0] * (1 - w)[None, :] + rows[:, x0 + 1] * w[None, :]
+    return out
+
+
+def _downsample_sum(kernel: np.ndarray, factor: int) -> np.ndarray:
+    """Sums ``factor x factor`` blocks centered on the kernel center."""
+    m = kernel.shape[0]
+    n = m // factor
+    if n * factor != m:
+        pad = (n + 1) * factor - m
+        lo = pad // 2
+        hi = pad - lo
+        kernel = np.pad(kernel, ((lo, hi), (lo, hi)))
+        n += 1
+    return kernel.reshape(n, factor, n, factor).sum(axis=(1, 3))
+
+
+def subgrid_kernel(
+    kernel: np.ndarray, factor: int, odd: bool = True, num_iter: int = 5
+) -> np.ndarray:
+    """Resamples a native-pixel PSF kernel onto a ``factor``x supersampled grid.
+
+    Flux-conserving: iteratively corrects the interpolated kernel so that
+    block-summing it back to the native grid reproduces the input kernel
+    (the same contract as lenstronomy's ``subgrid_kernel``, re-implemented).
+    """
+    kernel = np.asarray(kernel, np.float64)
+    kernel = kernel / kernel.sum()
+    if factor == 1:
+        return kernel.astype(np.float32)
+
+    fine = _bilinear_resample(kernel, factor, odd=odd)
+    fine = np.clip(fine, 0, None)
+    fine /= fine.sum()
+
+    for _ in range(num_iter):
+        coarse = _downsample_sum(fine, factor)
+        # align coarse grid back onto the input kernel's support
+        cc = coarse.shape[0]
+        if cc > kernel.shape[0]:
+            trim = (cc - kernel.shape[0]) // 2
+            coarse_c = coarse[trim : trim + kernel.shape[0], trim : trim + kernel.shape[0]]
+        else:
+            coarse_c = coarse
+        ratio = kernel / np.maximum(coarse_c, 1e-12)
+        correction = _bilinear_resample(ratio, factor, odd=odd)
+        if correction.shape != fine.shape:
+            t = (correction.shape[0] - fine.shape[0]) // 2
+            correction = correction[t : t + fine.shape[0], t : t + fine.shape[0]]
+        fine = np.clip(fine * correction, 0, None)
+        fine /= fine.sum()
+    return fine.astype(np.float32)
+
+
+def _good_fft_size(n: int) -> int:
+    """Next 5-smooth ("regular") integer >= n; XLA FFT likes small prime radix."""
+    if n <= 2:
+        return max(n, 1)
+    best = 1 << (n - 1).bit_length()  # next power of two as the fallback
+    p5 = 1
+    while p5 <= best:
+        p35 = p5
+        while p35 <= best:
+            m = p35
+            while m < n:
+                m *= 2
+            best = min(best, m)
+            p35 *= 3
+        p5 *= 5
+    return best
+
+
+# --------------------------------------------------------------------------
+# Device-side convolution
+# --------------------------------------------------------------------------
+
+class PSFConv:
+    """Batched 2-D convolution of (bs, H, W) images with a fixed kernel.
+
+    mode="fft": zero-padded linear convolution via rFFT with the kernel
+    transform precomputed at construction. mode="direct": XLA convolution.
+    Both produce 'SAME'-size output with true convolution orientation
+    (kernel flipped), matching the reference's ``lax.conv`` usage.
+    """
+
+    def __init__(self, kernel: np.ndarray, img_shape, mode: str = "fft"):
+        self.kernel = np.asarray(kernel, np.float32)
+        self.kh, self.kw = self.kernel.shape
+        self.h, self.w = int(img_shape[0]), int(img_shape[1])
+        self.mode = mode
+
+        if mode == "fft":
+            fh = _good_fft_size(self.h + self.kh - 1)
+            fw = _good_fft_size(self.w + self.kw - 1)
+            self.fshape = (fh, fw)
+            kpad = np.zeros((fh, fw), np.float32)
+            kpad[: self.kh, : self.kw] = self.kernel
+            self._kfft = jnp.asarray(np.fft.rfft2(kpad.astype(np.float64)).astype(np.complex64))
+            # 'SAME' crop offsets matching XLA's flipped-kernel convolution
+            # (pad_hi = k//2; identical to (k-1)//2 for odd kernels)
+            self._oy = self.kh // 2
+            self._ox = self.kw // 2
+        else:
+            # OIHW kernel, flipped for true convolution
+            self._k = jnp.asarray(self.kernel[::-1, ::-1][None, None])
+
+    def __call__(self, img):
+        """img: (..., H, W) -> convolved (..., H, W)."""
+        if self.mode == "fft":
+            batch_shape = img.shape[:-2]
+            x = img.reshape((-1, self.h, self.w))
+            xf = jnp.fft.rfft2(x, s=self.fshape)
+            out = jnp.fft.irfft2(xf * self._kfft, s=self.fshape)
+            out = out[:, self._oy : self._oy + self.h, self._ox : self._ox + self.w]
+            return out.reshape((*batch_shape, self.h, self.w))
+        batch_shape = img.shape[:-2]
+        x = img.reshape((-1, 1, self.h, self.w))
+        out = lax.conv_general_dilated(
+            x, self._k, (1, 1), padding="SAME",
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        return out.reshape((*batch_shape, self.h, self.w))
+
+
+def average_pool(img, factor: int):
+    """Non-overlapping mean pooling over the last two axes.
+
+    Equivalent to the reference's ``objax.average_pool_2d`` for inputs whose
+    size is divisible by ``factor`` (always true for supersampled renders),
+    but implemented as a reshape+mean, which XLA fuses with neighbors instead
+    of emitting a pooling convolution.
+    """
+    if factor == 1:
+        return img
+    *b, h, w = img.shape
+    img = img.reshape(*b, h // factor, factor, w // factor, factor)
+    return img.mean(axis=(-3, -1))

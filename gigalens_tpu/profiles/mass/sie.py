@@ -1,0 +1,52 @@
+"""Singular isothermal ellipsoid (SIE) and sphere (SIS) deflectors.
+
+Closed forms (Kormann et al. 1994; reference:
+``src/gigalens/jax/profiles/mass/sie.py``, ``sis.py``). The SIS carries an
+analytic Hessian; the SIE Hessian falls back to the forward-mode AD default.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from gigalens_tpu.profiles.base import MassProfile, ellipticity_to_polar, rotate
+
+
+class SIE(MassProfile):
+    _name = "SIE"
+    _params = ["theta_E", "e1", "e2", "center_x", "center_y"]
+
+    # Softening used only to keep the q -> 1 limit finite.
+    s_scale = 0.0
+
+    def deriv(self, x, y, theta_E, e1, e2, center_x, center_y):
+        _, q, phi = ellipticity_to_polar(e1, e2)
+        # intermediate-axis normalization of theta_E
+        b = theta_E * jnp.sqrt(2 * q / (1 + q**2)) * jnp.sqrt((1 + q**2) / 2)
+        s = self.s_scale * jnp.sqrt((1 + q**2) / (2 * q**2))
+
+        x, y = rotate(x - center_x, y - center_y, phi)
+        psi = jnp.sqrt(q**2 * (s**2 + x**2) + y**2)
+        root = jnp.sqrt(1.0 - q**2)
+        fx = b / root * jnp.arctan(root * x / (psi + s))
+        fy = b / root * jnp.arctanh(root * y / (psi + q**2 * s))
+        return rotate(fx, fy, -phi)
+
+
+class SIS(MassProfile):
+    _name = "SIS"
+    _params = ["theta_E", "center_x", "center_y"]
+
+    def deriv(self, x, y, theta_E, center_x, center_y):
+        dx, dy = x - center_x, y - center_y
+        r = jnp.sqrt(dx**2 + dy**2)
+        a = jnp.where(r == 0, 0.0, theta_E / jnp.where(r == 0, 1.0, r))
+        return a * dx, a * dy
+
+    def hessian(self, x, y, theta_E, center_x, center_y):
+        dx, dy = x - center_x, y - center_y
+        r3 = (dx**2 + dy**2) ** 1.5
+        a = jnp.where(r3 == 0, 0.0, theta_E / jnp.where(r3 == 0, 1.0, r3))
+        f_xx = dy**2 * a
+        f_yy = dx**2 * a
+        f_xy = -dx * dy * a
+        return f_xx, f_xy, f_xy, f_yy

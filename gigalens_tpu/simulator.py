@@ -1,0 +1,244 @@
+"""Batched differentiable lens simulator.
+
+TPU-first redesign of the reference ``LensSimulator``
+(``src/gigalens/jax/simulator.py:19-195``):
+
+  * **Batch-leading layout** ``(bs, npix)`` / ``(bs, H, W)`` everywhere — the
+    pixel axis is the TPU lane dimension and there is no transpose dance
+    (the reference renders ``(H*ss, W*ss, bs)`` then transposes, ``:123-130``).
+  * **FFT PSF convolution** with a precomputed kernel transform instead of
+    direct ``lax.conv`` (``:133``) — orders of magnitude fewer flops at the
+    benchmark scene sizes; a direct path remains for tiny kernels.
+  * **Reshape-mean downsampling** instead of a pooling convolution (``:138``).
+  * **No scatter when unmasked**: with no ``pix_region`` the flat render is a
+    plain reshape; with a mask a single batched scatter places all light
+    components at once.
+  * Methods are pure (no ``jit(static_argnums=0)``) — the enclosing training
+    step is what gets compiled, giving one trace per step.
+
+Parameter convention: ``params`` is a dict with keys ``lens_mass``,
+``lens_light``, ``source_light``, each a list of per-profile dicts whose leaves
+are shaped ``(bs,)`` (or scalars). Leaves are broadcast against coordinates
+``(npix,)`` as ``(bs, 1)``.
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+import gigalens_tpu.model as gmodel
+from gigalens_tpu.config import LensWCS, SimulatorConfig
+from gigalens_tpu.ops.psf import PSFConv, average_pool, subgrid_kernel
+
+
+def _batched(p: Dict):
+    """Appends a broadcast axis to each (bs,)-shaped leaf: (bs,) -> (bs, 1)."""
+    return {k: jnp.asarray(v)[..., None] for k, v in p.items()}
+
+
+class LensSimulator:
+    def __init__(
+        self,
+        phys_model: "gmodel.PhysicalModel",
+        sim_config: SimulatorConfig,
+        bs: int,
+    ):
+        self.phys_model = phys_model
+        self.sim_config = sim_config
+        self.bs = int(bs)
+        self.supersample = int(sim_config.supersample)
+        self.wcs = LensWCS(
+            n=sim_config.num_pix,
+            supersample=sim_config.supersample,
+            transform_pix2angle=sim_config.transform_pix2angle,
+            pix_scale=sim_config.delta_pix,
+        )
+
+        t = (
+            np.eye(2) * sim_config.delta_pix
+            if sim_config.transform_pix2angle is None
+            else np.asarray(sim_config.transform_pix2angle, np.float64)
+        )
+        # Pixel-area Jacobian: rendered surface brightness -> native-pixel flux.
+        self.conversion_factor = jnp.float32(np.linalg.det(t))
+
+        nx, ny = self.wcs.n_x, self.wcs.n_y
+        ss = self.supersample
+        self.h_ss, self.w_ss = nx * ss, ny * ss
+
+        # ---- pixel region mask -------------------------------------------
+        if sim_config.pix_region is None:
+            self.img_region = jnp.ones((nx, ny), jnp.float32)
+            self._rows = self._cols = None
+            X, Y = self.wcs.pixel_grid()  # (h_ss, w_ss) each
+            img_x = X.reshape(-1)
+            img_y = Y.reshape(-1)
+        else:
+            img_region = np.asarray(sim_config.pix_region).astype(bool)
+            self.img_region = jnp.asarray(img_region.astype(np.float32))
+            region = np.repeat(np.repeat(img_region, ss, axis=0), ss, axis=1)
+            rows, cols = np.where(region)
+            self._rows = jnp.asarray(rows)
+            self._cols = jnp.asarray(cols)
+            img_x, img_y = self.wcs.pix2angle(cols, rows)
+        self.img_x = jnp.asarray(img_x, jnp.float32)  # (npix,)
+        self.img_y = jnp.asarray(img_y, jnp.float32)
+        self.n_live_pix = int(np.count_nonzero(np.asarray(self.img_region)))
+
+        # ---- linear (lstsq) component count ------------------------------
+        self.depth = sum(x.depth for x in phys_model.lens_light) + sum(
+            x.depth for x in phys_model.source_light
+        )
+
+        # ---- PSF ----------------------------------------------------------
+        self._conv = None
+        if sim_config.kernel is not None:
+            kern = subgrid_kernel(np.asarray(sim_config.kernel), ss, odd=True)
+            use_fft = sim_config.use_fft
+            if use_fft is None:
+                # direct conv flops ~ npix*k^2 per image; FFT wins beyond ~9x9
+                use_fft = kern.shape[0] * kern.shape[1] > 81
+            self._conv = PSFConv(
+                kern, (self.h_ss, self.w_ss), mode="fft" if use_fft else "direct"
+            )
+
+    # ------------------------------------------------------------------
+    # field quantities (lens_params: list of per-profile dicts, (bs,) leaves)
+    # ------------------------------------------------------------------
+    def beta(self, x, y, lens_params: List[Dict]):
+        """Ray-shoots image-plane coords to the source plane."""
+        beta_x, beta_y = x, y
+        for lens, p, c in zip(
+            self.phys_model.lenses, lens_params, self.phys_model.lenses_constants
+        ):
+            fx, fy = lens.deriv(x, y, **_batched(p), **c)
+            beta_x, beta_y = beta_x - fx, beta_y - fy
+        return beta_x, beta_y
+
+    def hessian(self, x, y, lens_params: List[Dict]):
+        f_xx = f_xy = f_yx = f_yy = jnp.zeros(())
+        for lens, p, c in zip(
+            self.phys_model.lenses, lens_params, self.phys_model.lenses_constants
+        ):
+            a, b, c2, d = lens.hessian(x, y, **_batched(p), **c)
+            f_xx, f_xy, f_yx, f_yy = f_xx + a, f_xy + b, f_yx + c2, f_yy + d
+        return f_xx, f_xy, f_yx, f_yy
+
+    def magnification(self, x, y, lens_params: List[Dict]):
+        f_xx, f_xy, f_yx, f_yy = self.hessian(x, y, lens_params)
+        det_A = (1 - f_xx) * (1 - f_yy) - f_xy * f_yx
+        return 1.0 / det_A  # diverges on critical curves, as in the reference
+
+    def convergence(self, x, y, lens_params: List[Dict]):
+        f_xx, _, _, f_yy = self.hessian(x, y, lens_params)
+        return (f_xx + f_yy) / 2
+
+    def shear(self, x, y, lens_params: List[Dict]):
+        f_xx, f_xy, _, f_yy = self.hessian(x, y, lens_params)
+        return (f_xx - f_yy) / 2, f_xy
+
+    # ------------------------------------------------------------------
+    # rendering
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _get(params, key, profiles):
+        return params.get(key, [{} for _ in profiles]) if isinstance(params, dict) else params
+
+    def _flat_light(self, params, no_deflection=False, stack_components=False):
+        """Total surface brightness on the live supersampled pixels.
+
+        Returns (bs, npix), or (depth, bs, npix) when ``stack_components``.
+        """
+        lens_params = self._get(params, "lens_mass", self.phys_model.lenses)
+        lens_light_params = self._get(params, "lens_light", self.phys_model.lens_light)
+        source_light_params = self._get(
+            params, "source_light", self.phys_model.source_light
+        )
+
+        x, y = self.img_x, self.img_y
+        beta_x, beta_y = self.beta(x, y, lens_params)
+        if no_deflection:
+            beta_x, beta_y = x, y
+
+        values = []
+        for prof, p, c in zip(
+            self.phys_model.lens_light,
+            lens_light_params,
+            self.phys_model.lens_light_constants,
+        ):
+            values.append(prof.light(x, y, **_batched(p), **c))
+        for prof, p, c in zip(
+            self.phys_model.source_light,
+            source_light_params,
+            self.phys_model.source_light_constants,
+        ):
+            values.append(prof.light(beta_x, beta_y, **_batched(p), **c))
+
+        npix = x.shape[0]
+        if stack_components:
+            # lstsq mode: each profile contributes (depth_i, bs, npix)
+            return jnp.concatenate(
+                [jnp.broadcast_to(v, (v.shape[0], self.bs, npix)) for v in values],
+                axis=0,
+            )
+        total = sum(values) if values else jnp.zeros((self.bs, npix))
+        return jnp.broadcast_to(total, (self.bs, npix))
+
+    def _place(self, flat):
+        """(..., npix) flat live-pixel values -> (..., h_ss, w_ss) image."""
+        lead = flat.shape[:-1]
+        if self._rows is None:
+            return flat.reshape(*lead, self.h_ss, self.w_ss)
+        img = jnp.zeros((*lead, self.h_ss, self.w_ss), flat.dtype)
+        return img.at[..., self._rows, self._cols].set(
+            flat, unique_indices=True, mode="drop"
+        )
+
+    def _postprocess(self, img):
+        """nan guard -> PSF -> downsample -> pixel-area scale."""
+        img = jnp.nan_to_num(img)
+        if self._conv is not None:
+            img = self._conv(img)
+        img = average_pool(img, self.supersample)
+        return img * self.conversion_factor
+
+    def simulate(self, params, no_deflection=False):
+        """Renders observed-frame images; returns (bs, H, W) squeezed."""
+        flat = self._flat_light(params, no_deflection=no_deflection)
+        img = self._postprocess(self._place(flat))
+        return jnp.squeeze(img)
+
+    def lstsq_simulate(
+        self,
+        params,
+        observed_image,
+        err_map,
+        return_stacked=False,
+        return_coeffs=False,
+        no_deflection=False,
+    ):
+        """Renders with linear amplitudes solved by weighted least squares.
+
+        Solves, per sample, ``argmin_a || (sum_k a_k X_k - Y) / err ||^2`` via
+        the normal equations with a pseudo-inverse (rcond=1e-6), matching the
+        reference (``jax/simulator.py:187-191``).
+        """
+        stacked = self._flat_light(
+            params, no_deflection=no_deflection, stack_components=True
+        )  # (depth, bs, npix)
+        imgs = self._postprocess(self._place(stacked))  # (depth, bs, H, W)
+        ret = jnp.transpose(imgs, (1, 2, 3, 0))  # (bs, H, W, depth)
+        if return_stacked:
+            return ret
+
+        W = (1.0 / err_map)[..., None]  # (H, W, 1)
+        Y = jnp.reshape(observed_image * jnp.squeeze(W, -1), (1, -1, 1))
+        X = jnp.reshape(ret * W, (self.bs, -1, self.depth))
+        Xt = jnp.swapaxes(X, -1, -2)
+        coeffs = (jnp.linalg.pinv(Xt @ X, rcond=1e-6) @ (Xt @ Y))[..., 0]  # (bs, depth)
+        if return_coeffs:
+            return coeffs
+        out = jnp.sum(ret * coeffs[:, None, None, :], axis=-1)
+        return jnp.squeeze(out)

@@ -1,0 +1,141 @@
+"""Inference drivers: optimizer plumbing, HMC/SMC statistical correctness.
+
+Uses the reference's cheap deterministic tricks (zero-lr no-op, nonzero-lr
+moves params; reference tests/tf/test_model.py:29-57) plus exact statistical
+checks on Gaussian targets that the reference lacks.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gigalens_tpu.inference import ModellingSequence, fit_smc, sample_hmc
+from gigalens_tpu.model import ForwardProbModel
+from gigalens_tpu.simulator import LensSimulator
+
+
+@pytest.fixture(scope="module")
+def seq(demo_prior, demo_physmodel, small_sim_config):
+    pm = ForwardProbModel(
+        demo_prior, np.zeros((20, 20), np.float32), background_rms=0.1, exp_time=100
+    )
+    return ModellingSequence(demo_physmodel, pm, small_sim_config)
+
+
+def test_map_zero_lr_is_noop(seq, demo_prior):
+    start = demo_prior.unconstrain(demo_prior.sample(jax.random.PRNGKey(0), 8))
+    z = seq.MAP(optax.adam(0.0), start=start, n_samples=8, num_steps=3)
+    np.testing.assert_allclose(z, start, rtol=1e-6)
+
+
+def test_map_nonzero_lr_moves(seq, demo_prior):
+    start = demo_prior.unconstrain(demo_prior.sample(jax.random.PRNGKey(0), 8))
+    z = seq.MAP(optax.adam(1e-3), start=start, n_samples=8, num_steps=3)
+    assert not np.allclose(np.asarray(z), np.asarray(start))
+
+
+def test_svi_zero_lr_keeps_mean(seq, demo_prior):
+    start = demo_prior.unconstrain(demo_prior.sample(jax.random.PRNGKey(1), 1))
+    q_z, losses = seq.SVI(start, optax.adam(0.0), n_vi=4, num_steps=3)
+    np.testing.assert_allclose(q_z.mean(), start[0], rtol=1e-6)
+    assert losses.shape == (3,)
+
+
+def test_svi_nonzero_lr_moves(seq, demo_prior):
+    start = demo_prior.unconstrain(demo_prior.sample(jax.random.PRNGKey(1), 1))
+    q_z, _ = seq.SVI(start, optax.adam(1e-3), n_vi=4, num_steps=3)
+    assert not np.allclose(np.asarray(q_z.mean()), np.asarray(start[0]))
+
+
+def test_hmc_shapes(seq, demo_prior):
+    from gigalens_tpu.prob.distributions import MultivariateNormalTriL
+
+    d = demo_prior.d
+    start = demo_prior.unconstrain(demo_prior.sample(jax.random.PRNGKey(1), 1))
+    q_z = MultivariateNormalTriL(start[0], jnp.eye(d) * 1e-3)
+    res = seq.HMC(q_z, n_hmc=8, num_burnin_steps=4, num_results=6)
+    assert res.samples.shape == (6, 8, d)
+    assert np.isfinite(np.asarray(res.samples)).all()
+
+
+def test_hmc_gaussian_moments():
+    """HMC must reproduce a correlated Gaussian's mean and covariance."""
+    d = 4
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(d, d)).astype(np.float32)
+    cov = A @ A.T + np.eye(d, dtype=np.float32)
+    prec = np.linalg.inv(cov)
+    mean = np.arange(d, dtype=np.float32)
+
+    def log_prob(z):
+        diff = z - mean
+        return -0.5 * jnp.sum((diff @ prec) * diff, -1)
+
+    res = sample_hmc(
+        log_prob,
+        jnp.zeros((32, d)) + mean,
+        jax.random.PRNGKey(0),
+        step_size=0.3,
+        num_leapfrog_steps=3,
+        num_burnin_steps=300,
+        num_results=1500,
+        momentum_covariance=jnp.asarray(cov),
+    )
+    s = np.asarray(res.samples).reshape(-1, d)
+    assert float(res.accept_rate[-200:].mean()) > 0.6
+    np.testing.assert_allclose(s.mean(0), mean, atol=0.15)
+    np.testing.assert_allclose(np.cov(s.T), cov, atol=0.6, rtol=0.25)
+
+
+class _GaussianTargetModel:
+    """Duck-typed prob_model exposing the SMC interface for a conjugate
+    Gaussian problem: prior N(0, 1) per dim, likelihood N(1, 0.5^2) per dim,
+    posterior N(0.8, 0.2) per dim."""
+
+    class _P:
+        d = 3
+
+        def log_prob_z(self, z):
+            return -0.5 * jnp.sum(z**2, -1)
+
+        def constrain(self, z):
+            return z
+
+        def unconstrain(self, x):
+            return x
+
+        def sample(self, key, shape):
+            if isinstance(shape, int):
+                shape = (shape,)
+            return jax.random.normal(key, (*shape, self.d))
+
+    prior = _P()
+
+    def stats_pixels(self, sim, x):
+        ll = jnp.sum(-0.5 * ((x - 1.0) / 0.5) ** 2, -1)
+        return ll, ll
+
+    def stats_positions(self, sim, x):
+        return jnp.zeros(x.shape[0]), jnp.zeros(x.shape[0])
+
+
+def test_smc_gaussian_posterior():
+    pm = _GaussianTargetModel()
+    res = fit_smc(
+        pm,
+        simulator=None,
+        num_particles=400,
+        num_ensembles=2,
+        num_leapfrog_steps=5,
+        post_sampling_steps=50,
+        max_stage=50,
+        target="pixels",
+        auxiliar="none",
+        seed=0,
+    )
+    assert float(res.final_beta.min()) == 1.0
+    s = np.asarray(res.post_samples[-30:]).reshape(-1, 3)
+    # posterior: var = 1/(1/1 + 1/0.25) = 0.2, mean = 0.2 * (1/0.25) = 0.8
+    np.testing.assert_allclose(s.mean(0), [0.8] * 3, atol=0.08)
+    np.testing.assert_allclose(s.var(0), [0.2] * 3, atol=0.07)
