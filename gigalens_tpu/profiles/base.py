@@ -94,7 +94,9 @@ class LightProfile(Parameterized, ABC):
         super().__init__(*args, **kwargs)
         self._use_lstsq = bool(use_lstsq)
         self.depth = 1
-        if not self._use_lstsq and self._amp not in self.params:
+        # Profiles with multiple/numbered amplitudes (shapelets) set _amp = ""
+        # and manage their own amplitude params.
+        if self._amp and not self._use_lstsq and self._amp not in self.params:
             self.params.append(self._amp)
 
     @property
@@ -103,10 +105,11 @@ class LightProfile(Parameterized, ABC):
 
     @use_lstsq.setter
     def use_lstsq(self, use_lstsq: bool):
-        if use_lstsq and not self._use_lstsq:
-            self.params.remove(self._amp)
-        elif not use_lstsq and self._use_lstsq:
-            self.params.append(self._amp)
+        if self._amp:
+            if use_lstsq and not self._use_lstsq:
+                self.params.remove(self._amp)
+            elif not use_lstsq and self._use_lstsq:
+                self.params.append(self._amp)
         self._use_lstsq = bool(use_lstsq)
 
     @abstractmethod

@@ -1,3 +1,4 @@
 from gigalens_tpu.profiles.light.sersic import CoreSersic, Sersic, SersicEllipse
+from gigalens_tpu.profiles.light.shapelets import Shapelets
 
-__all__ = ["Sersic", "SersicEllipse", "CoreSersic"]
+__all__ = ["Sersic", "SersicEllipse", "CoreSersic", "Shapelets"]

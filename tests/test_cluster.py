@@ -1,0 +1,148 @@
+"""Cluster machinery: scaling relations and jet-based Taylor series."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gigalens_tpu.profiles.mass.dpie import DPIE
+from gigalens_tpu.profiles.mass.dpie_subhalo import DPIESubhalo, DPIESubhaloSeries
+from gigalens_tpu.profiles.mass.scaling import ScalingRelation
+from gigalens_tpu.profiles.mass.series import MassSeries, taylor_derivs
+from gigalens_tpu.profiles.mass.sie import SIS
+
+
+@pytest.fixture
+def catalogue(rng):
+    g = 7
+    return dict(
+        lum=rng.uniform(0.3, 3.0, g).astype(np.float32),
+        center_x=rng.normal(0, 1.0, g).astype(np.float32),
+        center_y=rng.normal(0, 1.0, g).astype(np.float32),
+        e1=rng.uniform(-0.2, 0.2, g).astype(np.float32),
+        e2=rng.uniform(-0.2, 0.2, g).astype(np.float32),
+    )
+
+
+def test_taylor_derivs_polynomial():
+    f = lambda r: jnp.stack([r**3, jnp.sin(r)])
+    d = taylor_derivs(f, jnp.float32(2.0), 3)
+    want = [
+        [8.0, math.sin(2)],
+        [12.0, math.cos(2)],
+        [12.0, -math.sin(2)],
+        [6.0, -math.cos(2)],
+    ]
+    np.testing.assert_allclose(np.stack(d), want, rtol=1e-4, atol=1e-5)
+
+
+def test_scaling_relation_matches_manual_sum(catalogue, rng):
+    """Scaled SIS stack == explicit per-galaxy loop."""
+    prof = ScalingRelation(
+        SIS(),
+        scaling_params=["theta_E"],
+        lum_star=1.0,
+        scaling_params_power={"theta_E": 0.5},
+        galaxy_catalogue=catalogue,
+    )
+    x = rng.normal(size=50).astype(np.float32)
+    y = rng.normal(size=50).astype(np.float32)
+    scales = dict(theta_E=jnp.array([[1.1], [0.7]]))  # bs=2
+    fx, fy = prof.deriv(x, y, **scales)
+    assert fx.shape == (2, 50)
+
+    for b, te in enumerate([1.1, 0.7]):
+        wx = np.zeros(50)
+        wy = np.zeros(50)
+        for g in range(len(catalogue["lum"])):
+            theta = te * catalogue["lum"][g] ** 0.5
+            gx, gy = SIS().deriv(
+                x, y,
+                theta_E=theta,
+                center_x=catalogue["center_x"][g],
+                center_y=catalogue["center_y"][g],
+            )
+            wx += np.asarray(gx)
+            wy += np.asarray(gy)
+        np.testing.assert_allclose(fx[b], wx, rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(fy[b], wy, rtol=1e-4, atol=1e-4)
+
+
+def test_scaling_relation_chunking_invariance(catalogue, rng):
+    x = rng.normal(size=30).astype(np.float32)
+    y = rng.normal(size=30).astype(np.float32)
+    scales = dict(theta_E=jnp.array([[1.0]]))
+    outs = []
+    for chunk in [None, 3, 2]:
+        prof = ScalingRelation(
+            SIS(), ["theta_E"], 1.0, {"theta_E": 0.5}, catalogue, chunk_size=chunk
+        )
+        outs.append(np.asarray(prof.deriv(x, y, **scales)[0]))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-5, atol=1e-5)
+
+
+def test_mass_series_dpie_matches_direct(rng):
+    """Series eval at perturbed r_cut matches the direct dPIE profile."""
+    x = rng.normal(size=40).astype(np.float32) * 2
+    y = rng.normal(size=40).astype(np.float32) * 2
+    consts = dict(r_core=0.15, center_x=0.1, center_y=-0.05, e1=0.1, e2=-0.08)
+    r_cut0 = 2.0
+
+    series = MassSeries(DPIE(), "r_cut", "theta_E", order=4)
+    series.set_constants(dict(r_cut=r_cut0, **consts))
+    series.set_grid(x, y)
+    series.set_deriv()
+    series.set_hessian()
+
+    for dv in [0.0, 0.05, -0.1, 0.2]:
+        r_cut = r_cut0 + dv
+        amp = 1.3
+        got = series.deriv(
+            x, y, theta_E=jnp.array([amp]), r_cut=jnp.array([r_cut0 + dv])
+        )
+        want = DPIE().deriv(x, y, theta_E=amp, r_cut=r_cut, **consts)
+        tol = 2e-4 + 10 * abs(dv) ** 5  # truncation + float32
+        np.testing.assert_allclose(got[0][0], want[0], rtol=5e-3, atol=tol)
+        np.testing.assert_allclose(got[1][0], want[1], rtol=5e-3, atol=tol)
+
+    # hessian too
+    got_h = series.hessian(
+        x, y, theta_E=jnp.array([1.0]), r_cut=jnp.array([r_cut0 + 0.05])
+    )
+    from gigalens_tpu.profiles.base import MassProfile
+
+    want_h = MassProfile.hessian(
+        DPIE(), x, y, theta_E=1.0, r_cut=r_cut0 + 0.05, **consts
+    )
+    np.testing.assert_allclose(got_h[0][0], want_h[0], rtol=1e-2, atol=5e-3)
+    np.testing.assert_allclose(got_h[3][0], want_h[3], rtol=1e-2, atol=5e-3)
+
+
+def test_dpie_subhalo_series_matches_direct(catalogue, rng):
+    """Series-accelerated member stack == direct stack at perturbed r_cut."""
+    cat = dict(catalogue, r_core=np.full(7, 0.05, np.float32))
+    x = rng.normal(size=25).astype(np.float32) * 2
+    y = rng.normal(size=25).astype(np.float32) * 2
+
+    direct = DPIESubhalo(lum_star=1.0, galaxy_catalogue=cat)
+    series = DPIESubhaloSeries(lum_star=1.0, galaxy_catalogue=cat, order=4)
+
+    r_cut0, theta0 = 1.5, 0.8
+    series.set_constants(dict(r_cut=r_cut0, r_core=0.05))
+    series.set_grid(x, y)
+    series.set_deriv()
+
+    for dv in [0.0, 0.1]:
+        got = series.deriv(
+            x, y, theta_E=jnp.array([theta0]), r_cut=jnp.array([r_cut0 + dv])
+        )
+        want = direct.deriv(
+            x, y,
+            theta_E=jnp.array([[theta0]]),
+            r_core=jnp.array([[0.05]]),
+            r_cut=jnp.array([[r_cut0 + dv]]),
+        )
+        np.testing.assert_allclose(got[0][0], want[0][0], rtol=5e-3, atol=2e-3)
+        np.testing.assert_allclose(got[1][0], want[1][0], rtol=5e-3, atol=2e-3)
