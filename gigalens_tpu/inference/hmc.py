@@ -90,17 +90,24 @@ def sample_hmc(
         num_adaptation_steps = int(0.8 * num_burnin_steps)
     total_steps = num_burnin_steps + num_results
 
+    @jax.jit  # jitted: eager linalg dispatch is unreliable on the axon backend
+    def _precond(tril):
+        m_inv = tril @ tril.T  # Sigma
+        # p = eps @ inv_l gives p_i = L^{-T} eps_i, i.e. p ~ N(0, Sigma^{-1}).
+        inv_l = jax.scipy.linalg.solve_triangular(
+            tril, jnp.eye(d, dtype=tril.dtype), lower=True
+        )
+        return m_inv, inv_l
+
     if momentum_covariance_tril is not None:
         tril = jnp.asarray(momentum_covariance_tril, z0.dtype)
     elif momentum_covariance is not None:
-        tril = jnp.linalg.cholesky(jnp.asarray(momentum_covariance, z0.dtype))
+        tril = jax.jit(jnp.linalg.cholesky)(
+            jnp.asarray(momentum_covariance, z0.dtype)
+        )
     else:
         tril = jnp.eye(d, dtype=z0.dtype)
-    m_inv = tril @ tril.T  # Sigma
-    # p = eps @ inv_l gives p_i = L^{-T} eps_i, i.e. p ~ N(0, Sigma^{-1}).
-    inv_l = jax.scipy.linalg.solve_triangular(
-        tril, jnp.eye(d, dtype=z0.dtype), lower=True
-    )
+    m_inv, inv_l = _precond(tril)
 
     def lp_and_grad(z):
         lp, vjp = jax.vjp(log_prob_fn, z)
@@ -194,7 +201,7 @@ def fit_hmc(
     del max_leapfrog_steps  # static trajectory in round 1 (see module note)
     key = jax.random.PRNGKey(seed)
     k_init, k_chain = jax.random.split(key)
-    z0 = q_z.sample(k_init, (n_hmc,))
+    z0 = jax.jit(lambda k: q_z.sample(k, (n_hmc,)))(k_init)
     if mesh is not None and mesh.size > 1:
         z0 = pmesh.shard_samples(z0, mesh)
 

@@ -40,8 +40,12 @@ def fit_map(
     key = jax.random.PRNGKey(seed)
 
     if start is None:
-        x0 = prob_model.prior.sample(key, n_samples)
-        z0 = prob_model.prior.unconstrain(x0)
+        # jitted: eager dispatch is unreliable on the axon TPU backend
+        @jax.jit
+        def _init(key):
+            return prob_model.prior.unconstrain(prob_model.prior.sample(key, n_samples))
+
+        z0 = _init(key)
     else:
         z0 = jnp.asarray(start)
 
@@ -74,5 +78,10 @@ def fit_map(
 
 def best_start(prob_model, simulator, z) -> jnp.ndarray:
     """Selects the highest-posterior sample; returns it shaped (1, d)."""
-    lp, _ = prob_model.log_prob(simulator, z)
-    return z[jnp.argmax(lp)][None, :]
+
+    @jax.jit
+    def _best(z):
+        lp, _ = prob_model.log_prob(simulator, z)
+        return z[jnp.argmax(lp)][None, :]
+
+    return _best(z)

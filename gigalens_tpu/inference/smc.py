@@ -73,12 +73,18 @@ def fit_smc(
     key, k_init = jax.random.split(key)
 
     if start is None:
-        x0 = prob_model.prior.sample(k_init, (P, E))
-        z0 = prob_model.prior.unconstrain(x0)
+        @jax.jit
+        def _init(key):
+            return prob_model.prior.unconstrain(prob_model.prior.sample(key, (P, E)))
+
+        z0 = _init(k_init)
     else:
-        start = jnp.asarray(start)
-        idx = jax.random.choice(k_init, start.shape[0], (P, E), replace=False)
-        z0 = start[idx]
+        @jax.jit
+        def _pick(key, start):
+            idx = jax.random.choice(key, start.shape[0], (P, E), replace=False)
+            return start[idx]
+
+        z0 = _pick(k_init, jnp.asarray(start))
 
     def _stats(name):
         if name == "pixels":

@@ -32,15 +32,21 @@ def fit_svi(
 ):
     """Returns (q_z: MultivariateNormalTriL, elbo_loss_history)."""
     d = prob_model.prior.d
-    start = jnp.reshape(jnp.asarray(start), (d,))
+    import numpy as np
 
     scale0 = (
-        jnp.eye(d) * init_scales
-        if jnp.size(init_scales) == 1
-        else jnp.asarray(init_scales)
+        np.eye(d, dtype=np.float32) * float(np.asarray(init_scales))
+        if np.size(init_scales) == 1
+        else np.asarray(init_scales, np.float32)
     )
     cov_bij = FillScaleTriL(d, diag_shift=1e-6)
-    qz_params = jnp.concatenate([start, cov_bij.inverse(scale0)], axis=0)
+
+    @jax.jit
+    def _init(start, scale0):
+        start = jnp.reshape(start, (d,))
+        return jnp.concatenate([start, cov_bij.inverse(scale0)], axis=0)
+
+    qz_params = _init(jnp.asarray(start), jnp.asarray(scale0))
 
     def unpack(qz_params):
         mean = qz_params[:d]
@@ -83,5 +89,5 @@ def fit_svi(
         return qz_params, losses
 
     qz_params, losses = run(qz_params, jax.random.PRNGKey(seed))
-    mean, tril = unpack(qz_params)
+    mean, tril = jax.jit(unpack)(qz_params)
     return MultivariateNormalTriL(mean, tril), losses

@@ -141,7 +141,12 @@ class PSFConv:
             self.fshape = (fh, fw)
             kpad = np.zeros((fh, fw), np.float32)
             kpad[: self.kh, : self.kw] = self.kernel
-            self._kfft = jnp.asarray(np.fft.rfft2(kpad.astype(np.float64)).astype(np.complex64))
+            # Stored as real/imag numpy pairs and recombined in-graph: the
+            # axon TPU backend cannot transfer complex64 host<->device, so a
+            # complex closure constant would fail at jit lowering.
+            kfft = np.fft.rfft2(kpad.astype(np.float64)).astype(np.complex64)
+            self._kfft_re = np.ascontiguousarray(kfft.real)
+            self._kfft_im = np.ascontiguousarray(kfft.imag)
             # 'SAME' crop offsets matching XLA's flipped-kernel convolution
             # (pad_hi = k//2; identical to (k-1)//2 for odd kernels)
             self._oy = self.kh // 2
@@ -156,7 +161,8 @@ class PSFConv:
             batch_shape = img.shape[:-2]
             x = img.reshape((-1, self.h, self.w))
             xf = jnp.fft.rfft2(x, s=self.fshape)
-            out = jnp.fft.irfft2(xf * self._kfft, s=self.fshape)
+            kfft = lax.complex(jnp.asarray(self._kfft_re), jnp.asarray(self._kfft_im))
+            out = jnp.fft.irfft2(xf * kfft, s=self.fshape)
             out = out[:, self._oy : self._oy + self.h, self._ox : self._ox + self.w]
             return out.reshape((*batch_shape, self.h, self.w))
         batch_shape = img.shape[:-2]

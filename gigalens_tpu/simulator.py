@@ -210,6 +210,41 @@ class LensSimulator:
         img = self._postprocess(self._place(flat))
         return jnp.squeeze(img)
 
+    def _render_selected(self, params, lens_light: bool, source_light: bool,
+                         no_deflection: bool = False):
+        """Renders a subset of light components (convenience views; the
+        reference TF substrate exposes these as ``simulate_source`` /
+        ``simulate_lens_light`` / ``simulate_images``, tf/simulator.py:242-328)."""
+        sub = gmodel.PhysicalModel.__new__(gmodel.PhysicalModel)
+        sub.lenses = self.phys_model.lenses
+        sub.lenses_constants = self.phys_model.lenses_constants
+        sub.lens_light = self.phys_model.lens_light if lens_light else []
+        sub.lens_light_constants = (
+            self.phys_model.lens_light_constants if lens_light else []
+        )
+        sub.source_light = self.phys_model.source_light if source_light else []
+        sub.source_light_constants = (
+            self.phys_model.source_light_constants if source_light else []
+        )
+        orig, self.phys_model = self.phys_model, sub
+        try:
+            flat = self._flat_light(params, no_deflection=no_deflection)
+        finally:
+            self.phys_model = orig
+        return jnp.squeeze(self._postprocess(self._place(flat)))
+
+    def simulate_source(self, params):
+        """Unlensed source render (no deflection applied)."""
+        return self._render_selected(params, lens_light=False, source_light=True,
+                                     no_deflection=True)
+
+    def simulate_lens_light(self, params):
+        return self._render_selected(params, lens_light=True, source_light=False)
+
+    def simulate_images(self, params):
+        """Lensed source only (no lens light)."""
+        return self._render_selected(params, lens_light=False, source_light=True)
+
     def lstsq_simulate(
         self,
         params,
