@@ -56,7 +56,9 @@ class MassProfile(Parameterized, ABC):
     def hessian(self, x, y, **params):
         """Deflection Jacobian (f_xx, f_xy, f_yx, f_yy) via forward-mode AD.
 
-        Profiles with cheap closed forms override this (SIS, Shear, NFW, dPIE).
+        Profiles with cheap closed forms override this (SIS, Shear, NFW, dPIE);
+        profiles whose ``deriv`` carries a custom VJP (EPL) override with
+        :meth:`hessian_vjp` since forward-mode cannot cross a custom_vjp.
         """
         x = jnp.asarray(x)
         y = jnp.asarray(y)
@@ -69,6 +71,24 @@ class MassProfile(Parameterized, ABC):
         ey = jnp.stack([jnp.zeros_like(x), jnp.ones_like(y)])
         _, (f_xx, f_yx) = jax.jvp(f, (xy,), (ex,))
         _, (f_xy, f_yy) = jax.jvp(f, (xy,), (ey,))
+        return f_xx, f_xy, f_yx, f_yy
+
+    def hessian_vjp(self, x, y, **params):
+        """Reverse-mode hessian (the reference's vmapped-VJP basis trick,
+        ``jax/profile.py:25-32``) — works through custom_vjp derivs."""
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+
+        def f(xy):
+            return jnp.stack(self.deriv(xy[0], xy[1], **params))
+
+        out, vjp_f = jax.vjp(f, jnp.stack([x, y]))
+        ones = jnp.ones(out.shape[1:])
+        zeros = jnp.zeros(out.shape[1:])
+        (row_x,) = vjp_f(jnp.stack([ones, zeros]))
+        (row_y,) = vjp_f(jnp.stack([zeros, ones]))
+        f_xx, f_yx = row_x[0], row_x[1]
+        f_xy, f_yy = row_y[0], row_y[1]
         return f_xx, f_xy, f_yx, f_yy
 
     def convergence(self, x, y, **params):
