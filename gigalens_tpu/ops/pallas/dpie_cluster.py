@@ -117,6 +117,45 @@ def _kernel(scales_ref, gal_ref, x_ref, y_ref, out_x_ref, out_y_ref, *, n_gblock
     out_y_ref[:] = acc_y
 
 
+def _kernel_jvp(scales_ref, gal_ref, x_ref, y_ref,
+                oxa_ref, oya_ref, oxs_ref, oys_ref, *, n_gblocks):
+    """Backward helper: directional derivatives of the member sum w.r.t. the
+    global r_core scaling (a) and r_cut scaling (s), via jax.jvp of the block
+    function traced inside the kernel."""
+    theta_s = scales_ref[0, 0]
+    rcore_s = scales_ref[0, 1]
+    rcut_s = scales_ref[0, 2]
+    x = x_ref[:]
+    y = y_ref[:]
+
+    def body(gi, acc):
+        axa, aya, axs, ays = acc
+        blk = gal_ref[pl.ds(gi * G_BLK, G_BLK), :]
+        cx, cy = blk[:, 0:1], blk[:, 1:2]
+        e, phi = blk[:, 2:3], blk[:, 3:4]
+        u_t, u_rc, u_rs = blk[:, 4:5], blk[:, 5:6], blk[:, 6:7]
+        primals = (x - cx, y - cy, theta_s * u_t, rcore_s * u_rc, rcut_s * u_rs, e, phi)
+        z = [jnp.zeros_like(p) for p in primals]
+
+        ta = tuple(z[:3] + [u_rc * jnp.ones_like(primals[3])] + z[4:])
+        _, (dxa, dya) = jax.jvp(_dpie_alpha_block, primals, ta)
+        ts = tuple(z[:4] + [u_rs * jnp.ones_like(primals[4])] + z[5:])
+        _, (dxs, dys) = jax.jvp(_dpie_alpha_block, primals, ts)
+        return (
+            axa + jnp.sum(dxa, 0, keepdims=True),
+            aya + jnp.sum(dya, 0, keepdims=True),
+            axs + jnp.sum(dxs, 0, keepdims=True),
+            ays + jnp.sum(dys, 0, keepdims=True),
+        )
+
+    zero = jnp.zeros((1, PIX_BLK), jnp.float32)
+    axa, aya, axs, ays = jax.lax.fori_loop(0, n_gblocks, body, (zero,) * 4)
+    oxa_ref[:] = axa
+    oya_ref[:] = aya
+    oxs_ref[:] = axs
+    oys_ref[:] = ays
+
+
 def _pad_to(arr, n, axis=0, value=0.0):
     pad = n - arr.shape[axis]
     if pad <= 0:
@@ -126,7 +165,32 @@ def _pad_to(arr, n, axis=0, value=0.0):
     return jnp.pad(arr, widths, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _prep(scales, galaxy_table, x, y):
+    bs = scales.shape[0]
+    P = x.shape[0]
+    G = galaxy_table.shape[0]
+    n_pix_blocks = -(-P // PIX_BLK)
+    n_gblocks = -(-G // G_BLK)
+    Pp = n_pix_blocks * PIX_BLK
+    Gp = n_gblocks * G_BLK
+    xp = _pad_to(x.astype(jnp.float32), Pp).reshape(1, Pp)
+    yp = _pad_to(y.astype(jnp.float32), Pp).reshape(1, Pp)
+    gal = _pad_to(galaxy_table.astype(jnp.float32), Gp)
+    return bs, P, n_pix_blocks, n_gblocks, Pp, Gp, xp, yp, gal
+
+
+def _specs(bs, Gp):
+    in_specs = [
+        pl.BlockSpec((1, 3), lambda b, p: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Gp, 8), lambda b, p: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
+    ]
+    out_spec = pl.BlockSpec((1, PIX_BLK), lambda b, p: (b, p), memory_space=pltpu.VMEM)
+    return in_specs, out_spec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def dpie_cluster_deriv(scales, galaxy_table, x, y, interpret: bool = False):
     """Summed dPIE member deflection.
 
@@ -137,41 +201,54 @@ def dpie_cluster_deriv(scales, galaxy_table, x, y, interpret: bool = False):
     x, y: (P,) pixel coordinates
     Returns (alpha_x, alpha_y), each (bs, P).
     """
-    bs = scales.shape[0]
-    P = x.shape[0]
-    G = galaxy_table.shape[0]
-
-    n_pix_blocks = -(-P // PIX_BLK)
-    n_gblocks = -(-G // G_BLK)
-    Pp = n_pix_blocks * PIX_BLK
-    Gp = n_gblocks * G_BLK
-
-    xp = _pad_to(x.astype(jnp.float32), Pp).reshape(1, Pp)
-    yp = _pad_to(y.astype(jnp.float32), Pp).reshape(1, Pp)
-    gal = _pad_to(galaxy_table.astype(jnp.float32), Gp)
-
-    out_shape = (
-        jax.ShapeDtypeStruct((bs, Pp), jnp.float32),
-        jax.ShapeDtypeStruct((bs, Pp), jnp.float32),
+    bs, P, n_pix_blocks, n_gblocks, Pp, Gp, xp, yp, gal = _prep(
+        scales, galaxy_table, x, y
     )
-    grid = (bs, n_pix_blocks)
+    in_specs, out_spec = _specs(bs, Gp)
+    out_shape = tuple(jax.ShapeDtypeStruct((bs, Pp), jnp.float32) for _ in range(2))
     ax, ay = pl.pallas_call(
         functools.partial(_kernel, n_gblocks=n_gblocks),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 3), lambda b, p: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Gp, 8), lambda b, p: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, PIX_BLK), lambda b, p: (b, p), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX_BLK), lambda b, p: (b, p), memory_space=pltpu.VMEM),
-        ),
+        grid=(bs, n_pix_blocks),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
         out_shape=out_shape,
         interpret=interpret,
     )(scales, gal, xp, yp)
     return ax[:, :P], ay[:, :P]
+
+
+def _deriv_fwd(scales, galaxy_table, x, y, interpret=False):
+    out = dpie_cluster_deriv(scales, galaxy_table, x, y, interpret)
+    return out, (scales, galaxy_table, x, y, out)
+
+
+def _deriv_bwd(interpret, res, ct):
+    scales, galaxy_table, x, y, (ax, ay) = res
+    ct_x, ct_y = ct
+    bs, P, n_pix_blocks, n_gblocks, Pp, Gp, xp, yp, gal = _prep(
+        scales, galaxy_table, x, y
+    )
+    in_specs, out_spec = _specs(bs, Gp)
+    out_shape = tuple(jax.ShapeDtypeStruct((bs, Pp), jnp.float32) for _ in range(4))
+    dxa, dya, dxs, dys = pl.pallas_call(
+        functools.partial(_kernel_jvp, n_gblocks=n_gblocks),
+        grid=(bs, n_pix_blocks),
+        in_specs=in_specs,
+        out_specs=(out_spec,) * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(scales, gal, xp, yp)
+    dxa, dya, dxs, dys = (v[:, :P] for v in (dxa, dya, dxs, dys))
+
+    # theta scaling is linear: d out / d theta_s = out / theta_s
+    g_t = jnp.sum(ct_x * ax + ct_y * ay, axis=-1) / scales[:, 0]
+    g_a = jnp.sum(ct_x * dxa + ct_y * dya, axis=-1)
+    g_s = jnp.sum(ct_x * dxs + ct_y * dys, axis=-1)
+    g_scales = jnp.stack([g_t, g_a, g_s], axis=-1)
+    return (g_scales, jnp.zeros_like(galaxy_table), jnp.zeros_like(x), jnp.zeros_like(y))
+
+
+dpie_cluster_deriv.defvjp(_deriv_fwd, _deriv_bwd)
 
 
 def make_galaxy_table(catalogue, lum_star, powers):
