@@ -136,7 +136,10 @@ def main():
     t0 = time.time()
     schedule = optax.polynomial_schedule(-1e-2, -1e-2 / 3, 0.5, cfgs["map_steps"])
     opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(schedule))
-    z_map = seq.MAP(opt, n_samples=cfgs["map_n"], num_steps=cfgs["map_steps"], seed=0)
+    # segment long scans: the axon tunnel kills single device executions that
+    # run for more than a few minutes
+    z_map = seq.MAP(opt, n_samples=cfgs["map_n"], num_steps=cfgs["map_steps"],
+                    seed=0, segment_steps=max(cfgs["map_steps"] // 2, 1))
     jax.block_until_ready(z_map)
     t_map = time.time() - t0
     sim_b = LensSimulator(phys, sim_config, bs=z_map.shape[0])
@@ -149,7 +152,8 @@ def main():
     best = z_map[jnp.argmax(lps)][None, :]
     schedule = optax.polynomial_schedule(-1e-6, -3e-3, 2, max(cfgs["vi_steps"] // 5, 1))
     opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(schedule))
-    q_z, losses = seq.SVI(best, opt, n_vi=cfgs["vi_n"], num_steps=cfgs["vi_steps"], seed=1)
+    q_z, losses = seq.SVI(best, opt, n_vi=cfgs["vi_n"], num_steps=cfgs["vi_steps"],
+                          seed=1, segment_steps=max(cfgs["vi_steps"] // 10, 1))
     jax.block_until_ready(losses)
     t_svi = time.time() - t0
     log(f"SVI: {t_svi:.1f}s elbo {float(losses[0]):.1f} -> {float(losses[-1]):.1f}")
@@ -159,6 +163,7 @@ def main():
     res = seq.HMC(
         q_z, n_hmc=cfgs["hmc_n"],
         num_burnin_steps=cfgs["burnin"], num_results=cfgs["results"], seed=2,
+        segment_steps=max((cfgs["burnin"] + cfgs["results"]) // 4, 1),
     )
     jax.block_until_ready(res.samples)
     t_hmc = time.time() - t0

@@ -12,21 +12,24 @@ with a single ``lax.scan`` chain that runs entirely on device:
   * scalar step size adapted by Nesterov dual averaging on the cross-chain
     mean acceptance probability during the first ``num_adaptation_steps``
     (0.8 * burn-in, the reference's ratio);
-  * static trajectory length (``num_leapfrog_steps``) with optional uniform
-    jitter, which combined with VI preconditioning is what the published
-    GIGA-Lens configuration effectively uses (L=3).
+  * trajectory length either static (``init_l`` leapfrog steps — the published
+    GIGA-Lens configuration) or adapted by the ChEES criterion (Hoffman,
+    Radul & Sountsov 2021), the algorithm behind the reference's
+    GradientBasedTrajectoryLengthAdaptation: jittered trajectories, Adam
+    ascent on the Change-in-Estimator-of-Expected-Square gradient estimate,
+    capped at ``max_leapfrog_steps``.
 
 The chain state never leaves the device; chains are sharded over the mesh's
-``samples`` axis and proceed with zero cross-chain communication except the
-scalar accept-rate reduction used by step-size adaptation.
+``samples`` axis and the only cross-chain communication is the scalar
+reductions used by adaptation.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gigalens_tpu.parallel import mesh as pmesh
 
@@ -37,11 +40,18 @@ class DualAveragingState(NamedTuple):
     h_bar: jnp.ndarray
 
 
+class ChEESState(NamedTuple):
+    log_t: jnp.ndarray   # log total trajectory length T
+    adam_m: jnp.ndarray
+    adam_v: jnp.ndarray
+
+
 class HMCResult(NamedTuple):
     samples: jnp.ndarray        # (num_results, n_chains, d)
     accept_rate: jnp.ndarray    # (total_steps,) mean accept prob per step
     step_size: jnp.ndarray      # final (adapted) step size
     final_state: jnp.ndarray    # (n_chains, d)
+    trajectory_length: jnp.ndarray = jnp.zeros(())  # final T (chees) or L*eps
 
 
 def _da_init(eps0):
@@ -60,6 +70,19 @@ def _da_update(state: DualAveragingState, t, accept_prob, mu,
     return DualAveragingState(log_eps, log_eps_bar, h_bar)
 
 
+def _halton(n, base=2):
+    """Van der Corput sequence in (0, 1) — deterministic trajectory jitter."""
+    seq = np.zeros(n)
+    for i in range(n):
+        f, r, idx = 1.0, 0.0, i + 1
+        while idx > 0:
+            f /= base
+            r += f * (idx % base)
+            idx //= base
+        seq[i] = r
+    return np.clip(seq, 0.05, 1.0).astype(np.float32)
+
+
 def sample_hmc(
     log_prob_fn,
     z0,
@@ -73,7 +96,11 @@ def sample_hmc(
     momentum_covariance: Optional[jnp.ndarray] = None,
     momentum_covariance_tril: Optional[jnp.ndarray] = None,
     target_accept: float = 0.75,
+    trajectory_adaptation: str = "none",   # "none" | "chees"
+    max_leapfrog_steps: int = 30,
+    chees_lr: float = 0.025,
     mesh=None,
+    segment_steps: int = 0,
 ):
     """Batched preconditioned HMC. ``z0``: (n_chains, d); ``log_prob_fn``
     maps (n_chains, d) -> (n_chains,).
@@ -89,6 +116,7 @@ def sample_hmc(
     if num_adaptation_steps is None:
         num_adaptation_steps = int(0.8 * num_burnin_steps)
     total_steps = num_burnin_steps + num_results
+    chees = trajectory_adaptation == "chees"
 
     @jax.jit  # jitted: eager linalg dispatch is unreliable on the axon backend
     def _precond(tril):
@@ -118,7 +146,7 @@ def sample_hmc(
         # 0.5 p^T Sigma p computed as |L^T p|^2 / 2 (never forms Sigma^{-1})
         return 0.5 * jnp.sum((p @ tril) ** 2, axis=-1)
 
-    def leapfrog(z, p, grad, eps):
+    def leapfrog(z, p, grad, eps, n_steps):
         p = p + 0.5 * eps * grad
 
         def body(_, carry):
@@ -129,55 +157,111 @@ def sample_hmc(
             return z, p, lp, g
 
         z, p, lp, g = jax.lax.fori_loop(
-            0, num_leapfrog_steps, body, (z, p, jnp.zeros(z.shape[:1], z.dtype), grad)
+            0, n_steps, body, (z, p, jnp.zeros(z.shape[:1], z.dtype), grad)
         )
         p = p - 0.5 * eps * g  # undo the extra half step from the last body
         return z, p, lp, g
 
     mu = jnp.log(10.0 * step_size)
+    halton = jnp.asarray(_halton(total_steps)) if chees else jnp.ones(total_steps)
+
+    def _chees_grad(z, z_new, p_new, accept_prob_c):
+        """ChEES criterion gradient estimate w.r.t. trajectory length."""
+        zc = z - jnp.mean(z, axis=0, keepdims=True)
+        zc_new = z_new - jnp.mean(z_new, axis=0, keepdims=True)
+        delta = jnp.sum(zc_new**2, -1) - jnp.sum(zc**2, -1)  # (n_chains,)
+        v_new = p_new @ m_inv  # final velocity dz/dtau
+        proj = jnp.sum(zc_new * v_new, -1)
+        w = accept_prob_c
+        return jnp.sum(w * delta * proj) / jnp.maximum(jnp.sum(w), 1e-6)
 
     def step(carry, inp):
-        z, lp, grad, da, t = carry
-        key = inp
+        z, lp, grad, da, ch, t = carry
+        key, h = inp
         k_mom, k_acc = jax.random.split(key)
 
         eps = jnp.where(
             t < num_adaptation_steps, jnp.exp(da.log_eps), jnp.exp(da.log_eps_bar)
         )
+        if chees:
+            traj = h * jnp.exp(ch.log_t)
+            n_steps = jnp.clip(
+                jnp.ceil(traj / eps).astype(jnp.int32), 1, max_leapfrog_steps
+            )
+        else:
+            n_steps = num_leapfrog_steps
 
         eps_n = jax.random.normal(k_mom, (n_chains, d), z.dtype)
         p0 = eps_n @ inv_l
-        z_new, p_new, lp_new, grad_new = leapfrog(z, p0, grad, eps)
+        z_new, p_new, lp_new, grad_new = leapfrog(z, p0, grad, eps, n_steps)
 
         log_accept = (lp_new - kinetic(p_new)) - (lp - kinetic(p0))
         log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
+        accept_prob_c = jnp.minimum(1.0, jnp.exp(log_accept))
         u = jax.random.uniform(k_acc, (n_chains,), z.dtype, minval=1e-10)
         accept = jnp.log(u) < log_accept
+
+        if chees:
+            g = _chees_grad(z, z_new, p_new, accept_prob_c)
+            b1, b2, eps_a = 0.9, 0.999, 1e-8
+            adam_m = b1 * ch.adam_m + (1 - b1) * g
+            adam_v = b2 * ch.adam_v + (1 - b2) * g**2
+            tf = t.astype(jnp.float32) + 1.0
+            m_hat = adam_m / (1 - b1**tf)
+            v_hat = adam_v / (1 - b2**tf)
+            log_t = ch.log_t + chees_lr * m_hat / (jnp.sqrt(v_hat) + eps_a)
+            # keep trajectories within [eps, max_leapfrog * eps]
+            log_t = jnp.clip(
+                log_t, jnp.log(eps), jnp.log(max_leapfrog_steps * eps)
+            )
+            ch_new = ChEESState(log_t, adam_m, adam_v)
+            ch = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(t < num_adaptation_steps, new, old),
+                ch_new, ch,
+            )
 
         z = jnp.where(accept[:, None], z_new, z)
         lp = jnp.where(accept, lp_new, lp)
         grad = jnp.where(accept[:, None], grad_new, grad)
         z = pmesh.constrain_samples(z, mesh)
 
-        accept_prob = jnp.mean(jnp.minimum(1.0, jnp.exp(log_accept)))
+        accept_prob = jnp.mean(accept_prob_c)
         da_new = _da_update(da, t, accept_prob, mu, target=target_accept)
         da = jax.tree_util.tree_map(
             lambda new, old: jnp.where(t < num_adaptation_steps, new, old), da_new, da
         )
-        return (z, lp, grad, da, t + 1), (z, accept_prob)
+        return (z, lp, grad, da, ch, t + 1), (z, accept_prob)
 
     @jax.jit
-    def run(z0, key):
+    def init_carry(z0):
         lp0, grad0 = lp_and_grad(z0)
         da0 = _da_init(jnp.asarray(step_size, z0.dtype))
-        keys = jax.random.split(key, total_steps)
-        (zf, _, _, da, _), (zs, acc) = jax.lax.scan(
-            step, (z0, lp0, grad0, da0, jnp.asarray(0)), keys
+        ch0 = ChEESState(
+            jnp.log(jnp.asarray(num_leapfrog_steps * step_size, z0.dtype)),
+            jnp.zeros(()),
+            jnp.zeros(()),
         )
-        return zs[num_burnin_steps:], acc, jnp.exp(da.log_eps_bar), zf
+        return (z0, lp0, grad0, da0, ch0, jnp.asarray(0))
 
-    samples, accept_rate, final_eps, zf = run(z0, key)
-    return HMCResult(samples, accept_rate, final_eps, zf)
+    @jax.jit
+    def run_segment(carry, keys, hs):
+        return jax.lax.scan(step, carry, (keys, hs))
+
+    keys = jax.random.split(key, total_steps)
+    n_seg = segment_steps if segment_steps > 0 else total_steps
+    carry = init_carry(z0)
+    zs_parts, acc_parts = [], []
+    for lo in range(0, total_steps, n_seg):
+        hi = min(lo + n_seg, total_steps)
+        carry, (zs, acc) = run_segment(carry, keys[lo:hi], halton[lo:hi])
+        zs_parts.append(zs)
+        acc_parts.append(acc)
+    zf, _, _, da, ch, _ = carry
+    zs = jnp.concatenate(zs_parts)
+    acc = jnp.concatenate(acc_parts)
+    final_eps = jnp.exp(da.log_eps_bar)
+    final_t = jnp.exp(ch.log_t) if chees else num_leapfrog_steps * final_eps
+    return HMCResult(zs[num_burnin_steps:], acc, final_eps, zf, final_t)
 
 
 def fit_hmc(
@@ -190,15 +274,19 @@ def fit_hmc(
     num_burnin_steps: int = 250,
     num_results: int = 750,
     max_leapfrog_steps: int = 30,
+    trajectory_adaptation: str = "chees",
     seed: int = 0,
     mesh=None,
+    segment_steps: int = 0,
 ):
     """VI-preconditioned posterior sampling (reference signature parity).
 
     ``q_z`` is the fitted SVI surrogate; its covariance becomes M^{-1} and its
-    samples initialize the chains. Returns :class:`HMCResult`.
+    samples initialize the chains. Trajectory length adapts by ChEES (like the
+    reference's GradientBasedTrajectoryLengthAdaptation) capped at
+    ``max_leapfrog_steps``; pass ``trajectory_adaptation="none"`` for the
+    static-L kernel. Returns :class:`HMCResult`.
     """
-    del max_leapfrog_steps  # static trajectory in round 1 (see module note)
     key = jax.random.PRNGKey(seed)
     k_init, k_chain = jax.random.split(key)
     z0 = jax.jit(lambda k: q_z.sample(k, (n_hmc,)))(k_init)
@@ -218,5 +306,8 @@ def fit_hmc(
         num_results=num_results,
         momentum_covariance_tril=getattr(q_z, "scale_tril", None),
         momentum_covariance=None if hasattr(q_z, "scale_tril") else q_z.covariance(),
+        trajectory_adaptation=trajectory_adaptation,
+        max_leapfrog_steps=max_leapfrog_steps,
         mesh=mesh,
+        segment_steps=segment_steps,
     )

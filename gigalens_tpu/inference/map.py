@@ -29,6 +29,7 @@ def fit_map(
     seed: int = 0,
     mesh=None,
     return_history: bool = True,
+    segment_steps: int = 0,
 ):
     """Runs multi-start Adam; returns (z, chi2_history).
 
@@ -66,13 +67,32 @@ def fit_map(
         z = pmesh.constrain_samples(z, mesh)
         return (z, opt_state), jnp.nanmin(chisq)
 
-    @jax.jit
-    def run(z0):
-        opt_state = optimizer.init(z0)
-        (z, _), hist = jax.lax.scan(step, (z0, opt_state), None, length=num_steps)
-        return z, hist
+    n_seg = segment_steps if segment_steps > 0 else num_steps
 
-    z, hist = run(z0)
+    def make_runner(length):
+        @jax.jit
+        def run_segment(carry):
+            return jax.lax.scan(step, carry, None, length=length)
+
+        return run_segment
+
+    run_full = make_runner(n_seg)
+
+    @jax.jit
+    def init_opt(z0):
+        return optimizer.init(z0)
+
+    carry = (z0, init_opt(z0))
+    hists = []
+    for _ in range(num_steps // n_seg):
+        carry, hist = run_full(carry)
+        hists.append(hist)
+    rem = num_steps % n_seg
+    if rem:
+        carry, hist = make_runner(rem)(carry)
+        hists.append(hist)
+    z = carry[0]
+    hist = jnp.concatenate(hists)
     return (z, hist) if return_history else z
 
 

@@ -37,6 +37,7 @@ class ModellingSequence:
         n_samples: int = 500,
         num_steps: int = 350,
         seed: int = 0,
+        segment_steps: int = 0,
     ):
         n_samples = pmesh.round_to_multiple(n_samples, self.mesh.size)
         sim = self._sim(n_samples)
@@ -49,6 +50,7 @@ class ModellingSequence:
             num_steps=num_steps,
             seed=seed,
             mesh=self.mesh,
+            segment_steps=segment_steps,
         )
         return z
 
@@ -65,6 +67,7 @@ class ModellingSequence:
         init_scales=1e-3,
         num_steps: int = 500,
         seed: int = 0,
+        segment_steps: int = 0,
     ):
         n_vi = pmesh.round_to_multiple(n_vi, self.mesh.size)
         sim = self._sim(n_vi)
@@ -78,6 +81,7 @@ class ModellingSequence:
             num_steps=num_steps,
             seed=seed,
             mesh=self.mesh,
+            segment_steps=segment_steps,
         )
 
     def HMC(
@@ -89,7 +93,9 @@ class ModellingSequence:
         num_burnin_steps: int = 250,
         num_results: int = 750,
         max_leapfrog_steps: int = 30,
+        trajectory_adaptation: str = "chees",
         seed: int = 0,
+        segment_steps: int = 0,
     ):
         n_hmc = pmesh.round_to_multiple(n_hmc, self.mesh.size)
         sim = self._sim(n_hmc)
@@ -103,8 +109,10 @@ class ModellingSequence:
             num_burnin_steps=num_burnin_steps,
             num_results=num_results,
             max_leapfrog_steps=max_leapfrog_steps,
+            trajectory_adaptation=trajectory_adaptation,
             seed=seed,
             mesh=self.mesh,
+            segment_steps=segment_steps,
         )
 
     def SMC(

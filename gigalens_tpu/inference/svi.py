@@ -29,8 +29,14 @@ def fit_svi(
     num_steps: int = 500,
     seed: int = 0,
     mesh=None,
+    segment_steps: int = 0,
 ):
-    """Returns (q_z: MultivariateNormalTriL, elbo_loss_history)."""
+    """Returns (q_z: MultivariateNormalTriL, elbo_loss_history).
+
+    ``segment_steps > 0`` splits the optimization into multiple device calls
+    of that many scan steps (state stays device-resident between calls) — for
+    environments that cap single-program execution time, and for progress
+    reporting; 0 runs everything in one call."""
     d = prob_model.prior.d
     import numpy as np
 
@@ -81,13 +87,35 @@ def fit_svi(
         qz_params = optax.apply_updates(qz_params, updates)
         return (qz_params, opt_state), loss
 
-    @jax.jit
-    def run(qz_params, key):
-        opt_state = optimizer.init(qz_params)
-        keys = jax.random.split(key, num_steps)
-        (qz_params, _), losses = jax.lax.scan(step, (qz_params, opt_state), keys)
-        return qz_params, losses
+    n_seg = segment_steps if segment_steps > 0 else num_steps
 
-    qz_params, losses = run(qz_params, jax.random.PRNGKey(seed))
+    def make_runner(length):
+        @jax.jit
+        def run_segment(carry, key):
+            keys = jax.random.split(key, length)
+            return jax.lax.scan(step, carry, keys)
+
+        return run_segment
+
+    run_full = make_runner(n_seg)
+
+    @jax.jit
+    def init_opt(qz_params):
+        return optimizer.init(qz_params)
+
+    carry = (qz_params, init_opt(qz_params))
+    key = jax.random.PRNGKey(seed)
+    losses = []
+    for _ in range(num_steps // n_seg):
+        key, k_seg = jax.random.split(key)
+        carry, seg_losses = run_full(carry, k_seg)
+        losses.append(seg_losses)
+    rem = num_steps % n_seg
+    if rem:
+        key, k_seg = jax.random.split(key)
+        carry, seg_losses = make_runner(rem)(carry, k_seg)
+        losses.append(seg_losses)
+    qz_params = carry[0]
+    losses = jnp.concatenate(losses)
     mean, tril = jax.jit(unpack)(qz_params)
     return MultivariateNormalTriL(mean, tril), losses

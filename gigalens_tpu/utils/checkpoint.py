@@ -44,16 +44,19 @@ def save_hmc(path: str, result):
     np.savez(path, samples=np.asarray(result.samples),
              accept_rate=np.asarray(result.accept_rate),
              step_size=np.asarray(result.step_size),
-             final_state=np.asarray(result.final_state))
+             final_state=np.asarray(result.final_state),
+             trajectory_length=np.asarray(result.trajectory_length))
 
 
 def load_hmc(path: str):
     from gigalens_tpu.inference.hmc import HMCResult
 
     d = np.load(path)
+    traj = d["trajectory_length"] if "trajectory_length" in d else np.zeros(())
     return HMCResult(
         jnp.asarray(d["samples"]), jnp.asarray(d["accept_rate"]),
         jnp.asarray(d["step_size"]), jnp.asarray(d["final_state"]),
+        jnp.asarray(traj),
     )
 
 

@@ -88,6 +88,40 @@ def test_hmc_gaussian_moments():
     np.testing.assert_allclose(np.cov(s.T), cov, atol=0.6, rtol=0.25)
 
 
+def test_chees_trajectory_adaptation_improves_ess():
+    """With a deliberately bad (identity) preconditioner on a correlated
+    Gaussian, ChEES should lengthen trajectories and beat static L=3 ESS."""
+    from gigalens_tpu.utils import effective_sample_size
+
+    d = 6
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(d, d)).astype(np.float32)
+    cov = A @ A.T + np.eye(d, dtype=np.float32)
+    prec = np.linalg.inv(cov)
+
+    def log_prob(z):
+        return -0.5 * jnp.sum((z @ prec) * z, -1)
+
+    results = {}
+    for mode in ["none", "chees"]:
+        res = sample_hmc(
+            log_prob, jnp.zeros((32, d)), jax.random.PRNGKey(0),
+            step_size=0.2, num_leapfrog_steps=3,
+            num_burnin_steps=300, num_results=800,
+            trajectory_adaptation=mode, max_leapfrog_steps=30,
+        )
+        results[mode] = res
+    ess_static = float(np.asarray(effective_sample_size(results["none"].samples)).min())
+    ess_chees = float(np.asarray(effective_sample_size(results["chees"].samples)).min())
+    t_final = float(results["chees"].trajectory_length)
+    eps = float(results["chees"].step_size)
+    assert t_final > 2.0 * eps * 3 / 2, (t_final, eps)  # grew beyond L~3 scale
+    assert ess_chees > 1.2 * ess_static, (ess_chees, ess_static)
+    # moments still correct
+    s = np.asarray(results["chees"].samples).reshape(-1, d)
+    np.testing.assert_allclose(np.var(s, 0), np.diag(cov), rtol=0.25)
+
+
 class _GaussianTargetModel:
     """Duck-typed prob_model exposing the SMC interface for a conjugate
     Gaussian problem: prior N(0, 1) per dim, likelihood N(1, 0.5^2) per dim,
