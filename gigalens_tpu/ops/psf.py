@@ -155,15 +155,32 @@ class PSFConv:
             # OIHW kernel, flipped for true convolution
             self._k = jnp.asarray(self.kernel[::-1, ::-1][None, None])
 
+    # XLA TPU batched FFTs are silently WRONG above ~768 batch elements
+    # (empirically: exact at 768, corrupted at 896+ on v5e/axon). Chunk well
+    # below the cliff.
+    MAX_FFT_BATCH = 512
+
+    def _fft_conv(self, x):
+        xf = jnp.fft.rfft2(x, s=self.fshape)
+        kfft = lax.complex(jnp.asarray(self._kfft_re), jnp.asarray(self._kfft_im))
+        out = jnp.fft.irfft2(xf * kfft, s=self.fshape)
+        return out[:, self._oy : self._oy + self.h, self._ox : self._ox + self.w]
+
     def __call__(self, img):
         """img: (..., H, W) -> convolved (..., H, W)."""
         if self.mode == "fft":
             batch_shape = img.shape[:-2]
             x = img.reshape((-1, self.h, self.w))
-            xf = jnp.fft.rfft2(x, s=self.fshape)
-            kfft = lax.complex(jnp.asarray(self._kfft_re), jnp.asarray(self._kfft_im))
-            out = jnp.fft.irfft2(xf * kfft, s=self.fshape)
-            out = out[:, self._oy : self._oy + self.h, self._ox : self._ox + self.w]
+            n = x.shape[0]
+            if n <= self.MAX_FFT_BATCH:
+                out = self._fft_conv(x)
+            else:
+                out = jnp.concatenate(
+                    [
+                        self._fft_conv(x[i : i + self.MAX_FFT_BATCH])
+                        for i in range(0, n, self.MAX_FFT_BATCH)
+                    ]
+                )
             return out.reshape((*batch_shape, self.h, self.w))
         batch_shape = img.shape[:-2]
         x = img.reshape((-1, 1, self.h, self.w))

@@ -35,12 +35,15 @@ def potential_scale_reduction(chains, split: bool = True):
 
 
 def _autocorrelation(x):
-    """Autocorrelation along axis 0 via FFT. x: (n, ...) -> (n, ...)."""
+    """Autocorrelation along axis 0 via FFT (numpy: diagnostics are
+    post-processing, and XLA TPU batched FFTs silently corrupt results for
+    batch > ~768 — see ops/psf.py)."""
+    x = np.asarray(x)
     n = x.shape[0]
-    x = x - jnp.mean(x, axis=0, keepdims=True)
+    x = x - np.mean(x, axis=0, keepdims=True)
     nfft = int(2 ** np.ceil(np.log2(2 * n)))
-    f = jnp.fft.rfft(x, n=nfft, axis=0)
-    acov = jnp.fft.irfft(f * jnp.conj(f), n=nfft, axis=0)[:n]
+    f = np.fft.rfft(x, n=nfft, axis=0)
+    acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=0)[:n]
     return acov / acov[:1]
 
 
@@ -48,16 +51,17 @@ def effective_sample_size(chains, cross_chain: bool = True):
     """ESS with Geyer's initial monotone positive sequence truncation.
 
     ``chains``: (n_steps, n_chains, d) -> (d,) total effective samples.
+    Computed in numpy (post-processing; avoids the TPU batched-FFT bug).
     """
-    chains = jnp.asarray(chains)
+    chains = np.asarray(chains)
     n, m, d = chains.shape
-    rho = jnp.mean(_autocorrelation(chains), axis=1)  # (n, d) chain-averaged
+    rho = np.mean(_autocorrelation(chains), axis=1)  # (n, d) chain-averaged
 
     # Geyer: sum consecutive-pair autocorrelations while positive & decreasing
     n_pairs = n // 2
     pair = rho[0 : 2 * n_pairs : 2] + rho[1 : 2 * n_pairs : 2]  # (n_pairs, d)
-    pair = jnp.minimum(pair, jnp.minimum.accumulate(pair, axis=0))  # monotone
-    pair = jnp.maximum(pair, 0.0)  # positive
-    tau = -1.0 + 2.0 * jnp.sum(pair, axis=0)
-    tau = jnp.maximum(tau, 1.0 / n)
+    pair = np.minimum(pair, np.minimum.accumulate(pair, axis=0))  # monotone
+    pair = np.maximum(pair, 0.0)  # positive
+    tau = -1.0 + 2.0 * np.sum(pair, axis=0)
+    tau = np.maximum(tau, 1.0 / n)
     return (n * m) / tau
