@@ -25,7 +25,11 @@ class SimulatorConfig:
         kernel: optional PSF kernel sampled at the native pixel scale.
         transform_pix2angle: optional 2x2 affine pixel->angle matrix.
         pix_region: optional boolean mask of live native pixels.
-        use_fft: PSF convolution path — True (FFT), False (direct), None (auto).
+        use_fft: legacy PSF switch — True (FFT), False (direct), None (auto).
+        psf_mode: explicit PSF convolution path: "dft" (DFT-by-matmul, MXU,
+            fastest on TPU), "fft" (XLA FFT), "direct" (XLA conv, small
+            kernels), or None (auto: dft on TPU, fft elsewhere, direct for
+            tiny kernels). Overrides use_fft when set.
     """
 
     delta_pix: float
@@ -35,6 +39,7 @@ class SimulatorConfig:
     transform_pix2angle: Optional[Any] = None
     pix_region: Optional[Any] = None
     use_fft: Optional[bool] = None
+    psf_mode: Optional[str] = None
 
 
 class LensWCS:

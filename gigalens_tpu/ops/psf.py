@@ -135,6 +135,40 @@ class PSFConv:
         self.h, self.w = int(img_shape[0]), int(img_shape[1])
         self.mode = mode
 
+        if mode == "dft":
+            # DFT-by-matmul: XLA's TPU FFT runs on the VPU and costs ~200us
+            # per 192x192 image; expressing the transform as dense DFT-matrix
+            # matmuls runs on the MXU at a small fraction of that. All
+            # factors are real numpy pairs (the axon backend cannot move
+            # complex64 across the host boundary).
+            fh = _good_fft_size(self.h + self.kh - 1)
+            fw = _good_fft_size(self.w + self.kw - 1)
+            self.fshape = (fh, fw)
+            kpad = np.zeros((fh, fw), np.float32)
+            kpad[: self.kh, : self.kw] = self.kernel
+            kfft = np.fft.fft2(kpad.astype(np.float64))
+            self._k_re = kfft.real.astype(np.float32)
+            self._k_im = kfft.imag.astype(np.float32)
+
+            def dft(n):
+                w = np.exp(-2j * np.pi * np.outer(np.arange(n), np.arange(n)) / n)
+                return w
+
+            Fh = dft(fh)
+            Fw = dft(fw)
+            self._fh_re = Fh.real.astype(np.float32)
+            self._fh_im = Fh.imag.astype(np.float32)
+            self._fw_re = Fw.real.astype(np.float32)
+            self._fw_im = Fw.imag.astype(np.float32)
+            # inverse DFT = conj(F)/n
+            self._ih_re = (Fh.real / fh).astype(np.float32)
+            self._ih_im = (-Fh.imag / fh).astype(np.float32)
+            self._iw_re = (Fw.real / fw).astype(np.float32)
+            self._iw_im = (-Fw.imag / fw).astype(np.float32)
+            self._oy = self.kh // 2
+            self._ox = self.kw // 2
+            return
+
         if mode == "fft":
             fh = _good_fft_size(self.h + self.kh - 1)
             fw = _good_fft_size(self.w + self.kw - 1)
@@ -166,8 +200,48 @@ class PSFConv:
         out = jnp.fft.irfft2(xf * kfft, s=self.fshape)
         return out[:, self._oy : self._oy + self.h, self._ox : self._ox + self.w]
 
+    def _dft_conv(self, x):
+        """Linear convolution via dense DFT matmuls (all-real arithmetic).
+
+        x: (n, H, W). Zero-pad to fshape, transform rows/cols by matmul,
+        multiply by the kernel spectrum, inverse-transform, crop 'SAME'.
+        """
+        n = x.shape[0]
+        fh, fw = self.fshape
+        xp = jnp.zeros((n, fh, fw), x.dtype).at[:, : self.h, : self.w].set(x)
+
+        # rows: Y = F_h @ X  (X real)
+        yr = jnp.einsum("ij,njk->nik", self._fh_re, xp)
+        yi = jnp.einsum("ij,njk->nik", self._fh_im, xp)
+        # cols: Z = Y @ F_w^T
+        zr = jnp.einsum("nik,jk->nij", yr, self._fw_re) - jnp.einsum(
+            "nik,jk->nij", yi, self._fw_im
+        )
+        zi = jnp.einsum("nik,jk->nij", yr, self._fw_im) + jnp.einsum(
+            "nik,jk->nij", yi, self._fw_re
+        )
+        # spectrum product
+        pr = zr * self._k_re - zi * self._k_im
+        pi = zr * self._k_im + zi * self._k_re
+        # inverse rows
+        ur = jnp.einsum("ij,njk->nik", self._ih_re, pr) - jnp.einsum(
+            "ij,njk->nik", self._ih_im, pi
+        )
+        ui = jnp.einsum("ij,njk->nik", self._ih_re, pi) + jnp.einsum(
+            "ij,njk->nik", self._ih_im, pr
+        )
+        # inverse cols, real part only
+        out = jnp.einsum("nik,jk->nij", ur, self._iw_re) - jnp.einsum(
+            "nik,jk->nij", ui, self._iw_im
+        )
+        return out[:, self._oy : self._oy + self.h, self._ox : self._ox + self.w]
+
     def __call__(self, img):
         """img: (..., H, W) -> convolved (..., H, W)."""
+        if self.mode == "dft":
+            batch_shape = img.shape[:-2]
+            x = img.reshape((-1, self.h, self.w))
+            return self._dft_conv(x).reshape((*batch_shape, self.h, self.w))
         if self.mode == "fft":
             batch_shape = img.shape[:-2]
             x = img.reshape((-1, self.h, self.w))

@@ -36,6 +36,14 @@ from jax import lax
 from gigalens_tpu.profiles.base import MassProfile, ellipticity_to_polar, rotate
 
 
+import os
+
+# scan unroll factor: fuses series iterations (cuts HBM carry traffic at the
+# cost of code size); measured neutral-to-slightly-negative on v5e at the
+# benchmark scale, so default 1 — tunable for other shapes/hardware.
+_UNROLL = int(os.environ.get("GIGALENS_EPL_UNROLL", "1"))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _omega(theta, f, t, niter):
     """Angular series Omega(theta; f, t) = sum_n a_n; returns (Re, Im).
@@ -54,7 +62,9 @@ def _omega(theta, f, t, niter):
         return (ax, ay, ox + ax, oy + ay), None
 
     ns = jnp.arange(1, niter, dtype=jnp.result_type(float))
-    (_, _, ox, oy), _ = lax.scan(step, (cos_t, sin_t, cos_t, sin_t), ns)
+    (_, _, ox, oy), _ = lax.scan(
+        step, (cos_t, sin_t, cos_t, sin_t), ns, unroll=_UNROLL
+    )
     return ox, oy
 
 
@@ -89,7 +99,7 @@ def _omega_bwd(niter, res, ct):
     g_th0 = -ct_x * sin_t + ct_y * cos_t
     ns = jnp.arange(1, niter, dtype=jnp.result_type(float))
     (_, _, _, g_th, g_f, g_t), _ = lax.scan(
-        step, (cos_t, sin_t, zero, g_th0, zero, zero), ns
+        step, (cos_t, sin_t, zero, g_th0, zero, zero), ns, unroll=_UNROLL
     )
 
     def _reduce_to(g, x):

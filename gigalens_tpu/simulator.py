@@ -96,13 +96,19 @@ class LensSimulator:
         self._conv = None
         if sim_config.kernel is not None:
             kern = subgrid_kernel(np.asarray(sim_config.kernel), ss, odd=True)
-            use_fft = sim_config.use_fft
-            if use_fft is None:
-                # direct conv flops ~ npix*k^2 per image; FFT wins beyond ~9x9
-                use_fft = kern.shape[0] * kern.shape[1] > 81
-            self._conv = PSFConv(
-                kern, (self.h_ss, self.w_ss), mode="fft" if use_fft else "direct"
-            )
+            mode = sim_config.psf_mode
+            if mode is None and sim_config.use_fft is not None:
+                mode = "fft" if sim_config.use_fft else "direct"
+            if mode is None:
+                if kern.shape[0] * kern.shape[1] <= 81:
+                    mode = "direct"  # tiny kernels: plain conv wins
+                else:
+                    import jax
+
+                    # XLA's TPU FFT is VPU-bound and slow; the dense-DFT
+                    # matmul path runs on the MXU (see ops/psf.py)
+                    mode = "dft" if jax.default_backend() == "tpu" else "fft"
+            self._conv = PSFConv(kern, (self.h_ss, self.w_ss), mode=mode)
 
     # ------------------------------------------------------------------
     # field quantities (lens_params: list of per-profile dicts, (bs,) leaves)
