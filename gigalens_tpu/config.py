@@ -40,6 +40,10 @@ class SimulatorConfig:
     pix_region: Optional[Any] = None
     use_fft: Optional[bool] = None
     psf_mode: Optional[str] = None
+    # fused Pallas deflect+render kernel for the EPL+Shear / 2x SersicEllipse
+    # model family: True, False, or None (auto: on when on TPU and the physical
+    # model matches the fused pattern)
+    use_fused_render: Optional[bool] = None
 
 
 class LensWCS:

@@ -1,0 +1,194 @@
+"""Pallas TPU kernel: fused EPL+Shear ray-shoot + Sersic surface brightness.
+
+The benchmark forward model spends most of its step time in the unfused
+elementwise chain deflect -> shoot -> render: XLA materializes multiple
+(bs, npix_supersampled) intermediates in HBM between the profile ops. This
+kernel computes, for a (sample, pixel-tile) grid cell held in VMEM:
+
+    beta = x - alpha_EPL(x; lens params) - alpha_shear(x)
+    out  = SersicEllipse(x; lens-light params) + SersicEllipse(beta; source)
+
+writing only the final surface-brightness tile — one HBM write per output
+element instead of a dozen round-trips.
+
+Gradient support: a custom VJP whose backward pass is a second Pallas kernel
+running ``jax.vjp`` of the same tile function *inside* the kernel (residuals
+live in VMEM), emitting per-(sample, tile) parameter cotangents that are
+summed over tiles outside. The EPL angular series inside the tile reuses
+:func:`gigalens_tpu.profiles.mass.epl._omega` with its O(1)-memory VJP.
+
+Parameter packing (columns of the (bs, 22) matrix):
+    0-5   lens EPL: theta_E, gamma, e1, e2, center_x, center_y
+    6-7   shear: gamma1, gamma2
+    8-14  lens light Sersic: R_sersic, n_sersic, e1, e2, center_x, center_y, Ie
+    15-21 source Sersic: R_sersic, n_sersic, e1, e2, center_x, center_y, Ie
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gigalens_tpu.profiles.mass.epl import _omega
+
+PIX_BLK = 512
+N_PARAMS = 22
+
+
+def _sersic_light(x, y, R_s, n_s, e1, e2, cx, cy, Ie):
+    phi = jnp.arctan2(e2, e1) / 2.0
+    c = jnp.sqrt(e1**2 + e2**2)
+    q = (1.0 - c) / (1.0 + c)
+    dx, dy = x - cx, y - cy
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+    xt1 = (cp * dx + sp * dy) * jnp.sqrt(q)
+    xt2 = (-sp * dx + cp * dy) / jnp.sqrt(q)
+    R = jnp.sqrt(xt1**2 + xt2**2)
+    bn = 1.9992 * n_s - 0.3271
+    return Ie * jnp.exp(-bn * ((R / R_s) ** (1.0 / n_s) - 1.0))
+
+
+def _tile_fn(p, x, y, niter):
+    """p: (N_PARAMS,) sample params; x, y: (1, PIX_BLK) coords -> light tile."""
+    te, gam, e1, e2, cx, cy = p[0], p[1], p[2], p[3], p[4], p[5]
+    g1, g2 = p[6], p[7]
+
+    # EPL deflection (ellipse frame series, same math as profiles/mass/epl.py)
+    phi = jnp.arctan2(e2, e1) / 2.0
+    c = jnp.minimum(jnp.sqrt(e1**2 + e2**2), 1.0)
+    q = (1.0 - c) / (1.0 + c)
+    b = te * jnp.sqrt(q)
+    t = gam - 1.0
+    dx, dy = x - cx, y - cy
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+    xr = dx * cp + dy * sp
+    yr = -dx * sp + dy * cp
+    R = jnp.clip(jnp.sqrt((q * xr) ** 2 + yr**2), 1e-10, 1e10)
+    ang = jnp.arctan2(yr, q * xr)
+    f = (1.0 - q) / (1.0 + q)
+    ox, oy = _omega(ang, f, t, niter)
+    pref = (2.0 * b) / (1.0 + q) * (b / R) ** (t - 1.0)
+    ax_r, ay_r = pref * ox, pref * oy
+    ax = ax_r * cp - ay_r * sp
+    ay = ax_r * sp + ay_r * cp
+
+    # external shear
+    ax = ax + g1 * x + g2 * y
+    ay = ay + g2 * x - g1 * y
+
+    beta_x = x - ax
+    beta_y = y - ay
+
+    lens_light = _sersic_light(x, y, p[8], p[9], p[10], p[11], p[12], p[13], p[14])
+    src_light = _sersic_light(
+        beta_x, beta_y, p[15], p[16], p[17], p[18], p[19], p[20], p[21]
+    )
+    return lens_light + src_light
+
+
+def _fwd_kernel(params_ref, x_ref, y_ref, out_ref, *, niter):
+    p = params_ref[0, :]
+    out_ref[:] = _tile_fn(p, x_ref[:], y_ref[:], niter)
+
+
+def _bwd_kernel(params_ref, x_ref, y_ref, ct_ref, gp_ref, *, niter):
+    p = params_ref[0, :]
+    x = x_ref[:]
+    y = y_ref[:]
+    _, vjp_fn = jax.vjp(lambda pp: _tile_fn(pp, x, y, niter), p)
+    (gp,) = vjp_fn(ct_ref[:])
+    gp = gp.reshape(1, N_PARAMS)
+
+    # pixel tiles revisit the same (b, 0) output block: accumulate across them
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        gp_ref[:] = gp
+
+    @pl.when(pl.program_id(1) != 0)
+    def _acc():
+        gp_ref[:] = gp_ref[:] + gp
+
+
+def _prep(params, x, y):
+    bs = params.shape[0]
+    P = x.shape[0]
+    n_tiles = -(-P // PIX_BLK)
+    Pp = n_tiles * PIX_BLK
+    if Pp != P:
+        x = jnp.pad(x, (0, Pp - P))
+        y = jnp.pad(y, (0, Pp - P))
+    return bs, P, n_tiles, Pp, x.reshape(1, Pp), y.reshape(1, Pp)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_render(params, x, y, niter: int = 18, interpret: bool = False):
+    """Fused flat-light render. params: (bs, N_PARAMS); x, y: (P,).
+
+    Returns (bs, P) surface brightness on the supersampled live pixels.
+    """
+    bs, P, n_tiles, Pp, xp, yp = _prep(params, x, y)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, niter=niter),
+        grid=(bs, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, N_PARAMS), lambda b, p: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, PIX_BLK), lambda b, p: (b, p), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bs, Pp), jnp.float32),
+        interpret=interpret,
+    )(params, xp, yp)
+    return out[:, :P]
+
+
+def _fused_fwd(params, x, y, niter, interpret):
+    return fused_render(params, x, y, niter, interpret), (params, x, y)
+
+
+def _fused_bwd(niter, interpret, res, ct):
+    params, x, y = res
+    bs, P, n_tiles, Pp, xp, yp = _prep(params, x, y)
+    ct_p = jnp.zeros((bs, Pp), ct.dtype).at[:, :P].set(ct) if Pp != P else ct
+    gp = pl.pallas_call(
+        functools.partial(_bwd_kernel, niter=niter),
+        grid=(bs, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, N_PARAMS), lambda b, p: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX_BLK), lambda b, p: (b, p), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, N_PARAMS), lambda b, p: (b, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bs, N_PARAMS), jnp.float32),
+        interpret=interpret,
+    )(params, xp, yp, ct_p)
+    return gp, jnp.zeros_like(x), jnp.zeros_like(y)
+
+
+fused_render.defvjp(_fused_fwd, _fused_bwd)
+
+
+def pack_params(params_dict):
+    """Packs the standard nested params dict into the (bs, N_PARAMS) matrix."""
+    lm = params_dict["lens_mass"]
+    ll = params_dict["lens_light"][0]
+    sl = params_dict["source_light"][0]
+    cols = [
+        lm[0]["theta_E"], lm[0]["gamma"], lm[0]["e1"], lm[0]["e2"],
+        lm[0]["center_x"], lm[0]["center_y"],
+        lm[1]["gamma1"], lm[1]["gamma2"],
+        ll["R_sersic"], ll["n_sersic"], ll["e1"], ll["e2"],
+        ll["center_x"], ll["center_y"], ll["Ie"],
+        sl["R_sersic"], sl["n_sersic"], sl["e1"], sl["e2"],
+        sl["center_x"], sl["center_y"], sl["Ie"],
+    ]
+    return jnp.stack([jnp.reshape(c, (-1,)) for c in cols], axis=-1)

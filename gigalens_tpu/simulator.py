@@ -110,6 +110,42 @@ class LensSimulator:
                     mode = "dft" if jax.default_backend() == "tpu" else "fft"
             self._conv = PSFConv(kern, (self.h_ss, self.w_ss), mode=mode)
 
+        # ---- fused Pallas render (EPL+Shear + 2x SersicEllipse on TPU) -----
+        self._fused_niter = self._detect_fused_pattern(phys_model)
+        use_fused = sim_config.use_fused_render
+        if use_fused is None:
+            import jax
+
+            use_fused = (
+                self._fused_niter is not None and jax.default_backend() == "tpu"
+            )
+        self._use_fused = bool(use_fused) and self._fused_niter is not None
+
+    @staticmethod
+    def _detect_fused_pattern(phys_model):
+        """Returns the EPL niter if the model is [EPL, Shear] + [SersicEllipse]
+        + [SersicEllipse] with no fixed constants, else None."""
+        from gigalens_tpu.profiles.light.sersic import SersicEllipse
+        from gigalens_tpu.profiles.mass.epl import EPL
+        from gigalens_tpu.profiles.mass.shear import Shear
+
+        pm = phys_model
+        ok = (
+            len(pm.lenses) == 2
+            and type(pm.lenses[0]) is EPL
+            and type(pm.lenses[1]) is Shear
+            and len(pm.lens_light) == 1
+            and type(pm.lens_light[0]) is SersicEllipse
+            and len(pm.source_light) == 1
+            and type(pm.source_light[0]) is SersicEllipse
+            and not pm.lens_light[0].use_lstsq
+            and not pm.source_light[0].use_lstsq
+            and all(not c for c in pm.lenses_constants)
+            and all(not c for c in pm.lens_light_constants)
+            and all(not c for c in pm.source_light_constants)
+        )
+        return pm.lenses[0].niter if ok else None
+
     # ------------------------------------------------------------------
     # field quantities (lens_params: list of per-profile dicts, (bs,) leaves)
     # ------------------------------------------------------------------
@@ -162,6 +198,19 @@ class LensSimulator:
         source_light_params = self._get(
             params, "source_light", self.phys_model.source_light
         )
+
+        if (
+            self._use_fused
+            and not stack_components
+            and not no_deflection
+            and isinstance(params, dict)
+            and all(k in params for k in ("lens_mass", "lens_light", "source_light"))
+        ):
+            from gigalens_tpu.ops.pallas.fused_render import fused_render, pack_params
+
+            p = pack_params(params)
+            out = fused_render(p, self.img_x, self.img_y, self._fused_niter)
+            return jnp.broadcast_to(out, (self.bs, self.img_x.shape[0]))
 
         x, y = self.img_x, self.img_y
         beta_x, beta_y = self.beta(x, y, lens_params)

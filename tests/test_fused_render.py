@@ -1,0 +1,96 @@
+"""Fused Pallas render kernel: interpret-mode parity with the XLA path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gigalens_tpu import PhysicalModel, SimulatorConfig
+from gigalens_tpu.ops.pallas.fused_render import fused_render, pack_params
+from gigalens_tpu.profiles.light.sersic import SersicEllipse
+from gigalens_tpu.profiles.mass.epl import EPL
+from gigalens_tpu.profiles.mass.shear import Shear
+from gigalens_tpu.simulator import LensSimulator
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    bs = 3
+
+    def rnd(lo, hi):
+        return jnp.asarray(rng.uniform(lo, hi, bs).astype(np.float32))
+
+    params = dict(
+        lens_mass=[
+            dict(theta_E=rnd(1.0, 1.5), gamma=rnd(1.8, 2.2), e1=rnd(0.02, 0.1),
+                 e2=rnd(-0.1, -0.02), center_x=rnd(-0.02, 0.02), center_y=rnd(-0.02, 0.02)),
+            dict(gamma1=rnd(-0.05, 0.05), gamma2=rnd(-0.05, 0.05)),
+        ],
+        lens_light=[
+            dict(R_sersic=rnd(0.8, 1.2), n_sersic=rnd(2, 4), e1=rnd(0.05, 0.15),
+                 e2=rnd(0.02, 0.1), center_x=rnd(-0.02, 0.02), center_y=rnd(-0.02, 0.02),
+                 Ie=rnd(80, 120)),
+        ],
+        source_light=[
+            dict(R_sersic=rnd(0.2, 0.3), n_sersic=rnd(1, 2), e1=rnd(0.02, 0.1),
+                 e2=rnd(0.02, 0.1), center_x=rnd(0, 0.1), center_y=rnd(-0.1, 0),
+                 Ie=rnd(40, 60)),
+        ],
+    )
+    phys = PhysicalModel([EPL(18), Shear()], [SersicEllipse()], [SersicEllipse()])
+    cfg = SimulatorConfig(delta_pix=0.065, num_pix=30, supersample=2)
+    sim = LensSimulator(phys, cfg, bs=bs)
+    return params, phys, sim
+
+
+def test_fused_forward_parity(setup):
+    params, phys, sim = setup
+    want = sim._flat_light(params)
+    got = fused_render(pack_params(params), sim.img_x, sim.img_y, 18, True)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
+
+
+def test_fused_gradient_parity(setup):
+    params, phys, sim = setup
+    p = pack_params(params)
+
+    def loss_k(p):
+        return jnp.sum(jnp.sin(fused_render(p, sim.img_x, sim.img_y, 18, True) / 50.0))
+
+    def loss_x(pr):
+        return jnp.sum(jnp.sin(sim._flat_light(pr) / 50.0))
+
+    gk = np.asarray(jax.grad(loss_k)(p))
+    gx = np.asarray(pack_params(jax.grad(loss_x)(params)))
+    rel = np.abs(gk - gx) / (np.abs(gx) + 1e-3)
+    assert rel.max() < 2e-3, rel.max()
+
+
+def test_fused_pattern_detection(setup):
+    params, phys, sim = setup
+    assert sim._fused_niter == 18
+    # wrong pattern -> no fusion
+    from gigalens_tpu.profiles.mass.sie import SIE
+
+    phys_bad = PhysicalModel([SIE(), Shear()], [SersicEllipse()], [SersicEllipse()])
+    assert LensSimulator._detect_fused_pattern(phys_bad) is None
+    phys_const = PhysicalModel(
+        [EPL(18), Shear()], [SersicEllipse()], [SersicEllipse()],
+        lenses_constants=[dict(center_x=0.0), dict()],
+    )
+    assert LensSimulator._detect_fused_pattern(phys_const) is None
+
+
+def test_fused_simulator_integration(setup):
+    """Forcing use_fused_render=True (interpret on CPU is too slow for the
+    full pipeline, but simulate on a tiny grid must agree with XLA)."""
+    params, phys, sim = setup
+    cfg = SimulatorConfig(delta_pix=0.1, num_pix=12, supersample=1,
+                          use_fused_render=False)
+    sim_x = LensSimulator(phys, cfg, bs=3)
+    want = sim_x.simulate(params)
+    # simulate with fused flag on requires TPU pallas; emulate by checking the
+    # flat-light dispatch path directly in interpret mode
+    got = fused_render(pack_params(params), sim_x.img_x, sim_x.img_y, 18, True)
+    got_img = got.reshape(3, 12, 12) * sim_x.conversion_factor
+    np.testing.assert_allclose(got_img, want, rtol=1e-4, atol=1e-3)
