@@ -4,21 +4,20 @@ The cluster hot loop is alpha(p) = sum_g dpie_deflection(p; galaxy g) over
 hundreds of member galaxies and tens of thousands of (supersampled) pixels,
 batched over samples. The XLA path (``profiles/mass/scaling.py``) materializes
 ``(bs, chunk, npix)`` intermediates between the elementwise profile math and
-the galaxy reduction; this kernel keeps the whole galaxies x pixels tile in
-VMEM and writes only the reduced ``(bs, npix)`` output to HBM.
+the galaxy reduction; this kernel keeps the whole tile in VMEM and writes only
+the reduced ``(bs, npix)`` output to HBM.
 
-Tiling: grid over (sample, pixel-tile); pixels are the 128-lane axis, member
-galaxies ride the 8-sublane axis in blocks (``(G_BLK, PIX_BLK)`` broadcasts),
-and the galaxy-block loop is a ``fori_loop`` accumulating into the output
-tile. The galaxy table (a few hundred rows x 7 columns) lives in VMEM whole.
+Tiling: grid over (8-sample block, pixel tile); samples ride the 8-sublane
+axis ((8, 1) scaled parameters broadcast against (1, PIX_BLK) coordinates),
+pixels the 128-lane axis. The galaxy loop is a ``fori_loop`` over the
+catalogue with per-galaxy scalars read from SMEM.
 
-Only the ellipse-frame dPIE formula is fused here (rotation by the galaxy
-position angle is part of the math, applied per galaxy inside the kernel).
-Gradients: the kernel defines a custom JVP (deflection is linear in theta_E
-and the (r_core, r_cut) tangents are computed by jet-free closed-form finite
-channels); for the common inference case — MAP/SVI/HMC differentiating w.r.t.
-the global (theta_E, r_core, r_cut) scalings — reverse mode reduces to three
-extra kernel calls. Use ``deriv_xla`` as the always-available fallback.
+Gradients: custom VJP — theta_E scaling is linear (grad = out/theta), and the
+(r_core, r_cut) scaling directions come from a second kernel evaluating
+``jax.jvp`` of the block function inside the kernel.
+
+Kernel-portable math: ``atan2`` does not lower in Mosaic and is replaced by
+:mod:`gigalens_tpu.ops.pallas._math`.
 """
 from __future__ import annotations
 
@@ -30,16 +29,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PIX_BLK = 128
-G_BLK = 8
+from gigalens_tpu.ops.pallas._math import atan2 as _atan2
+
+PIX_BLK = 512
+S_BLK = 8       # samples per block (sublane axis)
+S_PAD = 128     # scales row padded to a full lane vector
+N_GCOLS = 8     # galaxy table columns
 
 
 def _dpie_alpha_block(x, y, theta, rcore, rcut, e, phi):
-    """Ellipse-frame dPIE deflection for a (G_BLK, PIX_BLK) block.
+    """Ellipse-frame dPIE deflection for an (S_BLK, PIX_BLK) block.
 
-    x, y: (1, PIX_BLK) pixel coords already offset by galaxy centers
-    theta, rcore, rcut, e, phi: (G_BLK, 1) per-galaxy parameters
-    Returns (alpha_x, alpha_y) each (G_BLK, PIX_BLK) in the sky frame.
+    x, y: (1, PIX_BLK) pixel coords already offset by the galaxy center
+    theta, rcore, rcut: (S_BLK, 1) per-sample scaled parameters
+    e, phi: scalars (per-galaxy shape)
+    Returns (alpha_x, alpha_y), each (S_BLK, PIX_BLK), in the sky frame.
     """
     cos_p = jnp.cos(phi)
     sin_p = jnp.sin(phi)
@@ -47,8 +51,8 @@ def _dpie_alpha_block(x, y, theta, rcore, rcut, e, phi):
     yr = -x * sin_p + y * cos_p
 
     e = jnp.clip(e, 1e-6, 0.9999)  # sqe>0 keeps the formula total
-    # core < cut guard (also keeps padded zero-parameter galaxies finite:
-    # theta = 0 then zeroes their contribution exactly)
+    # core < cut guard (keeps padded zero-parameter galaxies finite; their
+    # theta = 0 zeroes the contribution exactly)
     rcore = jnp.maximum(rcore, 1e-4)
     rcut = jnp.maximum(rcut, rcore + 1e-4)
     q = (1.0 - e) / (1.0 + e)
@@ -72,7 +76,7 @@ def _dpie_alpha_block(x, y, theta, rcore, rcut, e, phi):
     z_im = (top_im * bot_re - top_re * bot_im) / bot2
 
     log_re = 0.5 * jnp.log(z_re**2 + z_im**2)
-    log_im = jnp.arctan2(z_im, z_re)
+    log_im = _atan2(z_im, z_re)
 
     pref = -0.5 * (1.0 - e**2) / sqe
     scale = theta * rcut / (rcut - rcore)
@@ -82,74 +86,63 @@ def _dpie_alpha_block(x, y, theta, rcore, rcut, e, phi):
     return ax * cos_p - ay * sin_p, ax * sin_p + ay * cos_p
 
 
-def _kernel(scales_ref, gal_ref, x_ref, y_ref, out_x_ref, out_y_ref, *, n_gblocks):
-    """One (sample b, pixel tile) cell: sum over all galaxy blocks."""
-    theta_s = scales_ref[0, 0]
-    rcore_s = scales_ref[0, 1]
-    rcut_s = scales_ref[0, 2]
+def _gal_scalars(gal_ref, g):
+    cx = gal_ref[g, 0]
+    cy = gal_ref[g, 1]
+    e = gal_ref[g, 2]
+    phi = gal_ref[g, 3]
+    u_t = gal_ref[g, 4]
+    u_rc = gal_ref[g, 5]
+    u_rs = gal_ref[g, 6]
+    return cx, cy, e, phi, u_t, u_rc, u_rs
+
+
+def _kernel(scales_ref, gal_ref, x_ref, y_ref, out_x_ref, out_y_ref, *, n_gal):
+    """One (sample-block, pixel tile) cell: sum over all galaxies."""
+    theta_s = scales_ref[:, 0:1]   # (S_BLK, 1)
+    rcore_s = scales_ref[:, 1:2]
+    rcut_s = scales_ref[:, 2:3]
     x = x_ref[:]  # (1, PIX_BLK)
     y = y_ref[:]
 
-    def body(gi, acc):
+    def body(g, acc):
         acc_x, acc_y = acc
-        blk = gal_ref[pl.ds(gi * G_BLK, G_BLK), :]  # (G_BLK, 8)
-        cx = blk[:, 0:1]
-        cy = blk[:, 1:2]
-        e = blk[:, 2:3]
-        phi = blk[:, 3:4]
-        u_t = blk[:, 4:5]
-        u_rc = blk[:, 5:6]
-        u_rs = blk[:, 6:7]
+        cx, cy, e, phi, u_t, u_rc, u_rs = _gal_scalars(gal_ref, g)
         ax, ay = _dpie_alpha_block(
-            x - cx,
-            y - cy,
-            theta_s * u_t,
-            rcore_s * u_rc,
-            rcut_s * u_rs,
-            e,
-            phi,
+            x - cx, y - cy, theta_s * u_t, rcore_s * u_rc, rcut_s * u_rs, e, phi
         )
-        return acc_x + jnp.sum(ax, 0, keepdims=True), acc_y + jnp.sum(ay, 0, keepdims=True)
+        return acc_x + ax, acc_y + ay
 
-    zero = jnp.zeros((1, PIX_BLK), jnp.float32)
-    acc_x, acc_y = jax.lax.fori_loop(0, n_gblocks, body, (zero, zero))
+    zero = jnp.zeros((S_BLK, PIX_BLK), jnp.float32)
+    acc_x, acc_y = jax.lax.fori_loop(0, n_gal, body, (zero, zero))
     out_x_ref[:] = acc_x
     out_y_ref[:] = acc_y
 
 
 def _kernel_jvp(scales_ref, gal_ref, x_ref, y_ref,
-                oxa_ref, oya_ref, oxs_ref, oys_ref, *, n_gblocks):
-    """Backward helper: directional derivatives of the member sum w.r.t. the
-    global r_core scaling (a) and r_cut scaling (s), via jax.jvp of the block
-    function traced inside the kernel."""
-    theta_s = scales_ref[0, 0]
-    rcore_s = scales_ref[0, 1]
-    rcut_s = scales_ref[0, 2]
+                oxa_ref, oya_ref, oxs_ref, oys_ref, *, n_gal):
+    """Directional derivatives w.r.t. the global r_core (a) and r_cut (s)
+    scalings via jax.jvp of the block function, traced inside the kernel."""
+    theta_s = scales_ref[:, 0:1]
+    rcore_s = scales_ref[:, 1:2]
+    rcut_s = scales_ref[:, 2:3]
     x = x_ref[:]
     y = y_ref[:]
 
-    def body(gi, acc):
+    def body(g, acc):
         axa, aya, axs, ays = acc
-        blk = gal_ref[pl.ds(gi * G_BLK, G_BLK), :]
-        cx, cy = blk[:, 0:1], blk[:, 1:2]
-        e, phi = blk[:, 2:3], blk[:, 3:4]
-        u_t, u_rc, u_rs = blk[:, 4:5], blk[:, 5:6], blk[:, 6:7]
-        primals = (x - cx, y - cy, theta_s * u_t, rcore_s * u_rc, rcut_s * u_rs, e, phi)
+        cx, cy, e, phi, u_t, u_rc, u_rs = _gal_scalars(gal_ref, g)
+        primals = (x - cx, y - cy, theta_s * u_t, rcore_s * u_rc, rcut_s * u_rs,
+                   e, phi)
         z = [jnp.zeros_like(p) for p in primals]
-
         ta = tuple(z[:3] + [u_rc * jnp.ones_like(primals[3])] + z[4:])
         _, (dxa, dya) = jax.jvp(_dpie_alpha_block, primals, ta)
         ts = tuple(z[:4] + [u_rs * jnp.ones_like(primals[4])] + z[5:])
         _, (dxs, dys) = jax.jvp(_dpie_alpha_block, primals, ts)
-        return (
-            axa + jnp.sum(dxa, 0, keepdims=True),
-            aya + jnp.sum(dya, 0, keepdims=True),
-            axs + jnp.sum(dxs, 0, keepdims=True),
-            ays + jnp.sum(dys, 0, keepdims=True),
-        )
+        return axa + dxa, aya + dya, axs + dxs, ays + dys
 
-    zero = jnp.zeros((1, PIX_BLK), jnp.float32)
-    axa, aya, axs, ays = jax.lax.fori_loop(0, n_gblocks, body, (zero,) * 4)
+    zero = jnp.zeros((S_BLK, PIX_BLK), jnp.float32)
+    axa, aya, axs, ays = jax.lax.fori_loop(0, n_gal, body, (zero,) * 4)
     oxa_ref[:] = axa
     oya_ref[:] = aya
     oxs_ref[:] = axs
@@ -167,26 +160,29 @@ def _pad_to(arr, n, axis=0, value=0.0):
 
 def _prep(scales, galaxy_table, x, y):
     bs = scales.shape[0]
+    n_sblk = -(-bs // S_BLK)
+    bs_p = n_sblk * S_BLK
+    scales_p = _pad_to(scales.astype(jnp.float32), S_PAD, axis=1)
+    scales_p = _pad_to(scales_p, bs_p, axis=0, value=1.0)
     P = x.shape[0]
-    G = galaxy_table.shape[0]
-    n_pix_blocks = -(-P // PIX_BLK)
-    n_gblocks = -(-G // G_BLK)
-    Pp = n_pix_blocks * PIX_BLK
-    Gp = n_gblocks * G_BLK
+    n_tiles = -(-P // PIX_BLK)
+    Pp = n_tiles * PIX_BLK
     xp = _pad_to(x.astype(jnp.float32), Pp).reshape(1, Pp)
     yp = _pad_to(y.astype(jnp.float32), Pp).reshape(1, Pp)
-    gal = _pad_to(galaxy_table.astype(jnp.float32), Gp)
-    return bs, P, n_pix_blocks, n_gblocks, Pp, Gp, xp, yp, gal
+    gal = galaxy_table.astype(jnp.float32)
+    return bs, bs_p, n_sblk, P, n_tiles, Pp, xp, yp, gal, scales_p
 
 
-def _specs(bs, Gp):
+def _specs():
     in_specs = [
-        pl.BlockSpec((1, 3), lambda b, p: (b, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((Gp, 8), lambda b, p: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((S_BLK, S_PAD), lambda b, p: (b, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # whole galaxy table, scalars
         pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
     ]
-    out_spec = pl.BlockSpec((1, PIX_BLK), lambda b, p: (b, p), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (S_BLK, PIX_BLK), lambda b, p: (b, p), memory_space=pltpu.VMEM
+    )
     return in_specs, out_spec
 
 
@@ -201,20 +197,20 @@ def dpie_cluster_deriv(scales, galaxy_table, x, y, interpret: bool = False):
     x, y: (P,) pixel coordinates
     Returns (alpha_x, alpha_y), each (bs, P).
     """
-    bs, P, n_pix_blocks, n_gblocks, Pp, Gp, xp, yp, gal = _prep(
+    bs, bs_p, n_sblk, P, n_tiles, Pp, xp, yp, gal, scales_p = _prep(
         scales, galaxy_table, x, y
     )
-    in_specs, out_spec = _specs(bs, Gp)
-    out_shape = tuple(jax.ShapeDtypeStruct((bs, Pp), jnp.float32) for _ in range(2))
+    in_specs, out_spec = _specs()
+    out_shape = tuple(jax.ShapeDtypeStruct((bs_p, Pp), jnp.float32) for _ in range(2))
     ax, ay = pl.pallas_call(
-        functools.partial(_kernel, n_gblocks=n_gblocks),
-        grid=(bs, n_pix_blocks),
+        functools.partial(_kernel, n_gal=gal.shape[0]),
+        grid=(n_sblk, n_tiles),
         in_specs=in_specs,
         out_specs=(out_spec, out_spec),
         out_shape=out_shape,
         interpret=interpret,
-    )(scales, gal, xp, yp)
-    return ax[:, :P], ay[:, :P]
+    )(scales_p, gal, xp, yp)
+    return ax[:bs, :P], ay[:bs, :P]
 
 
 def _deriv_fwd(scales, galaxy_table, x, y, interpret=False):
@@ -225,20 +221,20 @@ def _deriv_fwd(scales, galaxy_table, x, y, interpret=False):
 def _deriv_bwd(interpret, res, ct):
     scales, galaxy_table, x, y, (ax, ay) = res
     ct_x, ct_y = ct
-    bs, P, n_pix_blocks, n_gblocks, Pp, Gp, xp, yp, gal = _prep(
+    bs, bs_p, n_sblk, P, n_tiles, Pp, xp, yp, gal, scales_p = _prep(
         scales, galaxy_table, x, y
     )
-    in_specs, out_spec = _specs(bs, Gp)
-    out_shape = tuple(jax.ShapeDtypeStruct((bs, Pp), jnp.float32) for _ in range(4))
+    in_specs, out_spec = _specs()
+    out_shape = tuple(jax.ShapeDtypeStruct((bs_p, Pp), jnp.float32) for _ in range(4))
     dxa, dya, dxs, dys = pl.pallas_call(
-        functools.partial(_kernel_jvp, n_gblocks=n_gblocks),
-        grid=(bs, n_pix_blocks),
+        functools.partial(_kernel_jvp, n_gal=gal.shape[0]),
+        grid=(n_sblk, n_tiles),
         in_specs=in_specs,
         out_specs=(out_spec,) * 4,
         out_shape=out_shape,
         interpret=interpret,
-    )(scales, gal, xp, yp)
-    dxa, dya, dxs, dys = (v[:, :P] for v in (dxa, dya, dxs, dys))
+    )(scales_p, gal, xp, yp)
+    dxa, dya, dxs, dys = (v[:bs, :P] for v in (dxa, dya, dxs, dys))
 
     # theta scaling is linear: d out / d theta_s = out / theta_s
     g_t = jnp.sum(ct_x * ax + ct_y * ay, axis=-1) / scales[:, 0]

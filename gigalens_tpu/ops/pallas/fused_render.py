@@ -3,21 +3,35 @@
 The benchmark forward model spends most of its step time in the unfused
 elementwise chain deflect -> shoot -> render: XLA materializes multiple
 (bs, npix_supersampled) intermediates in HBM between the profile ops. This
-kernel computes, for a (sample, pixel-tile) grid cell held in VMEM:
+kernel computes, for an (8-sample block, pixel-tile) grid cell held in VMEM:
 
     beta = x - alpha_EPL(x; lens params) - alpha_shear(x)
     out  = SersicEllipse(x; lens-light params) + SersicEllipse(beta; source)
 
 writing only the final surface-brightness tile — one HBM write per output
-element instead of a dozen round-trips.
+element instead of a dozen round-trips. Samples ride the 8-sublane axis
+((8, 1) parameter columns broadcast against (1, PIX_BLK) coordinates), pixels
+the 128-lane axis — Mosaic's native (8, 128) tiling.
 
 Gradient support: a custom VJP whose backward pass is a second Pallas kernel
 running ``jax.vjp`` of the same tile function *inside* the kernel (residuals
-live in VMEM), emitting per-(sample, tile) parameter cotangents that are
-summed over tiles outside. The EPL angular series inside the tile reuses
+live in VMEM), emitting per-(sample-block, tile) parameter cotangents summed
+outside. The EPL angular series reuses
 :func:`gigalens_tpu.profiles.mass.epl._omega` with its O(1)-memory VJP.
 
-Parameter packing (columns of the (bs, 22) matrix):
+STATUS: forward verified on v5e hardware (2e-5 vs XLA) and measured
+performance-neutral — the render is transcendental-compute-bound, not
+HBM-bound, so XLA's fusion already achieves kernel-equivalent speed; the
+simulator therefore keeps this path opt-in (use_fused_render=True). The
+backward is exact in interpret mode but miscompiles on hardware for grids
+with more than one sample block (deterministic wrong values growing with
+grid size — suspected Mosaic bug with in-kernel transposed loops); do not
+train through it on TPU until resolved.
+
+Kernel-portable math: ``atan2``/``pow`` do not lower in Mosaic and are
+replaced by :mod:`gigalens_tpu.ops.pallas._math`.
+
+Parameter packing (columns of the (bs, 22) matrix, padded to 128 lanes):
     0-5   lens EPL: theta_E, gamma, e1, e2, center_x, center_y
     6-7   shear: gamma1, gamma2
     8-14  lens light Sersic: R_sersic, n_sersic, e1, e2, center_x, center_y, Ie
@@ -33,14 +47,21 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gigalens_tpu.ops.pallas._math import atan2 as _atan2, powp as _powp
 from gigalens_tpu.profiles.mass.epl import _omega
 
 PIX_BLK = 512
+S_BLK = 8       # samples per block (sublane axis)
 N_PARAMS = 22
+P_PAD = 128     # params row padded to one full lane vector
+
+
+def _col(p, k):
+    return p[:, k : k + 1]  # (S_BLK, 1)
 
 
 def _sersic_light(x, y, R_s, n_s, e1, e2, cx, cy, Ie):
-    phi = jnp.arctan2(e2, e1) / 2.0
+    phi = _atan2(e2, e1) / 2.0
     c = jnp.sqrt(e1**2 + e2**2)
     q = (1.0 - c) / (1.0 + c)
     dx, dy = x - cx, y - cy
@@ -49,16 +70,18 @@ def _sersic_light(x, y, R_s, n_s, e1, e2, cx, cy, Ie):
     xt2 = (-sp * dx + cp * dy) / jnp.sqrt(q)
     R = jnp.sqrt(xt1**2 + xt2**2)
     bn = 1.9992 * n_s - 0.3271
-    return Ie * jnp.exp(-bn * ((R / R_s) ** (1.0 / n_s) - 1.0))
+    return Ie * jnp.exp(-bn * (_powp(R / R_s, 1.0 / n_s) - 1.0))
 
 
 def _tile_fn(p, x, y, niter):
-    """p: (N_PARAMS,) sample params; x, y: (1, PIX_BLK) coords -> light tile."""
-    te, gam, e1, e2, cx, cy = p[0], p[1], p[2], p[3], p[4], p[5]
-    g1, g2 = p[6], p[7]
+    """p: (S_BLK, P_PAD) params; x, y: (1, PIX_BLK) -> (S_BLK, PIX_BLK)."""
+    te, gam = _col(p, 0), _col(p, 1)
+    e1, e2 = _col(p, 2), _col(p, 3)
+    cx, cy = _col(p, 4), _col(p, 5)
+    g1, g2 = _col(p, 6), _col(p, 7)
 
-    # EPL deflection (ellipse frame series, same math as profiles/mass/epl.py)
-    phi = jnp.arctan2(e2, e1) / 2.0
+    # EPL deflection (ellipse-frame series, same math as profiles/mass/epl.py)
+    phi = _atan2(e2, e1) / 2.0
     c = jnp.minimum(jnp.sqrt(e1**2 + e2**2), 1.0)
     q = (1.0 - c) / (1.0 + c)
     b = te * jnp.sqrt(q)
@@ -68,10 +91,10 @@ def _tile_fn(p, x, y, niter):
     xr = dx * cp + dy * sp
     yr = -dx * sp + dy * cp
     R = jnp.clip(jnp.sqrt((q * xr) ** 2 + yr**2), 1e-10, 1e10)
-    ang = jnp.arctan2(yr, q * xr)
+    ang = _atan2(yr, q * xr)
     f = (1.0 - q) / (1.0 + q)
     ox, oy = _omega(ang, f, t, niter)
-    pref = (2.0 * b) / (1.0 + q) * (b / R) ** (t - 1.0)
+    pref = (2.0 * b) / (1.0 + q) * _powp(b / R, t - 1.0)
     ax_r, ay_r = pref * ox, pref * oy
     ax = ax_r * cp - ay_r * sp
     ay = ax_r * sp + ay_r * cp
@@ -83,45 +106,49 @@ def _tile_fn(p, x, y, niter):
     beta_x = x - ax
     beta_y = y - ay
 
-    lens_light = _sersic_light(x, y, p[8], p[9], p[10], p[11], p[12], p[13], p[14])
+    lens_light = _sersic_light(
+        x, y, _col(p, 8), _col(p, 9), _col(p, 10), _col(p, 11),
+        _col(p, 12), _col(p, 13), _col(p, 14),
+    )
     src_light = _sersic_light(
-        beta_x, beta_y, p[15], p[16], p[17], p[18], p[19], p[20], p[21]
+        beta_x, beta_y, _col(p, 15), _col(p, 16), _col(p, 17), _col(p, 18),
+        _col(p, 19), _col(p, 20), _col(p, 21),
     )
     return lens_light + src_light
 
 
 def _fwd_kernel(params_ref, x_ref, y_ref, out_ref, *, niter):
-    p = params_ref[0, :]
-    out_ref[:] = _tile_fn(p, x_ref[:], y_ref[:], niter)
+    out_ref[:] = _tile_fn(params_ref[:], x_ref[:], y_ref[:], niter)
 
 
 def _bwd_kernel(params_ref, x_ref, y_ref, ct_ref, gp_ref, *, niter):
-    p = params_ref[0, :]
     x = x_ref[:]
     y = y_ref[:]
-    _, vjp_fn = jax.vjp(lambda pp: _tile_fn(pp, x, y, niter), p)
-    (gp,) = vjp_fn(ct_ref[:])
-    gp = gp.reshape(1, N_PARAMS)
-
-    # pixel tiles revisit the same (b, 0) output block: accumulate across them
-    @pl.when(pl.program_id(1) == 0)
-    def _init():
-        gp_ref[:] = gp
-
-    @pl.when(pl.program_id(1) != 0)
-    def _acc():
-        gp_ref[:] = gp_ref[:] + gp
+    _, vjp_fn = jax.vjp(lambda pp: _tile_fn(pp, x, y, niter), params_ref[:])
+    (gp,) = vjp_fn(ct_ref[:])  # (S_BLK, P_PAD)
+    # per-(sample-block, tile) output; the tile sum happens outside the kernel
+    # (revisited-block accumulation miscompiled on real hardware)
+    gp_ref[:] = gp
 
 
 def _prep(params, x, y):
     bs = params.shape[0]
+    if params.shape[1] != P_PAD:
+        params = jnp.pad(params, ((0, 0), (0, P_PAD - params.shape[1])))
+    n_sblk = -(-bs // S_BLK)
+    bs_p = n_sblk * S_BLK
+    if bs_p != bs:
+        # duplicate the last row: benign values, outputs sliced away
+        params = jnp.concatenate(
+            [params, jnp.broadcast_to(params[-1:], (bs_p - bs, P_PAD))]
+        )
     P = x.shape[0]
     n_tiles = -(-P // PIX_BLK)
     Pp = n_tiles * PIX_BLK
     if Pp != P:
         x = jnp.pad(x, (0, Pp - P))
         y = jnp.pad(y, (0, Pp - P))
-    return bs, P, n_tiles, Pp, x.reshape(1, Pp), y.reshape(1, Pp)
+    return bs, bs_p, n_sblk, P, n_tiles, Pp, x.reshape(1, Pp), y.reshape(1, Pp), params
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -130,22 +157,22 @@ def fused_render(params, x, y, niter: int = 18, interpret: bool = False):
 
     Returns (bs, P) surface brightness on the supersampled live pixels.
     """
-    bs, P, n_tiles, Pp, xp, yp = _prep(params, x, y)
+    bs, bs_p, n_sblk, P, n_tiles, Pp, xp, yp, params_p = _prep(params, x, y)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, niter=niter),
-        grid=(bs, n_tiles),
+        grid=(n_sblk, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, N_PARAMS), lambda b, p: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_BLK, P_PAD), lambda b, p: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, PIX_BLK), lambda b, p: (b, p), memory_space=pltpu.VMEM
+            (S_BLK, PIX_BLK), lambda b, p: (b, p), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bs, Pp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bs_p, Pp), jnp.float32),
         interpret=interpret,
-    )(params, xp, yp)
-    return out[:, :P]
+    )(params_p, xp, yp)
+    return out[:bs, :P]
 
 
 def _fused_fwd(params, x, y, niter, interpret):
@@ -154,24 +181,25 @@ def _fused_fwd(params, x, y, niter, interpret):
 
 def _fused_bwd(niter, interpret, res, ct):
     params, x, y = res
-    bs, P, n_tiles, Pp, xp, yp = _prep(params, x, y)
-    ct_p = jnp.zeros((bs, Pp), ct.dtype).at[:, :P].set(ct) if Pp != P else ct
+    bs, bs_p, n_sblk, P, n_tiles, Pp, xp, yp, params_p = _prep(params, x, y)
+    ct_p = jnp.zeros((bs_p, Pp), ct.dtype).at[:bs, :P].set(ct)
     gp = pl.pallas_call(
         functools.partial(_bwd_kernel, niter=niter),
-        grid=(bs, n_tiles),
+        grid=(n_sblk, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, N_PARAMS), lambda b, p: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_BLK, P_PAD), lambda b, p: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX_BLK), lambda b, p: (b, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_BLK, PIX_BLK), lambda b, p: (b, p), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, N_PARAMS), lambda b, p: (b, 0), memory_space=pltpu.VMEM
+            (S_BLK, P_PAD), lambda b, p: (b, p), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bs, N_PARAMS), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bs_p, n_tiles * P_PAD), jnp.float32),
         interpret=interpret,
-    )(params, xp, yp, ct_p)
-    return gp, jnp.zeros_like(x), jnp.zeros_like(y)
+    )(params_p, xp, yp, ct_p)
+    gp = gp.reshape(bs_p, n_tiles, P_PAD).sum(axis=1)
+    return gp[:bs, :N_PARAMS], jnp.zeros_like(x), jnp.zeros_like(y)
 
 
 fused_render.defvjp(_fused_fwd, _fused_bwd)

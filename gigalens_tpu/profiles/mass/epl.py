@@ -55,15 +55,17 @@ def _omega(theta, f, t, niter):
     cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
     cos_2t, sin_2t = jnp.cos(2 * theta), jnp.sin(2 * theta)
 
-    def step(carry, n):
+    # carry-only fori_loop: lowers inside Pallas kernels (Mosaic rejects
+    # scans with scanned-over inputs) and compiles identically under XLA
+    def step(i, carry):
         ax, ay, ox, oy = carry
+        n = i.astype(cos_t.dtype)
         ratio = -f * (2 * n - (2 - t)) / (2 * n + (2 - t))
         ax, ay = ratio * (cos_2t * ax - sin_2t * ay), ratio * (sin_2t * ax + cos_2t * ay)
-        return (ax, ay, ox + ax, oy + ay), None
+        return (ax, ay, ox + ax, oy + ay)
 
-    ns = jnp.arange(1, niter, dtype=jnp.result_type(float))
-    (_, _, ox, oy), _ = lax.scan(
-        step, (cos_t, sin_t, cos_t, sin_t), ns, unroll=_UNROLL
+    _, _, ox, oy = lax.fori_loop(
+        1, niter, step, (cos_t, sin_t, cos_t, sin_t), unroll=_UNROLL
     )
     return ox, oy
 
@@ -83,8 +85,9 @@ def _omega_bwd(niter, res, ct):
     )
     zero = jnp.zeros(shape)
 
-    def step(carry, n):
+    def step(i, carry):
         ax, ay, s_t, g_th, g_f, g_t = carry
+        n = i.astype(cos_t.dtype)
         ratio = -f * (2 * n - (2 - t)) / (2 * n + (2 - t))
         ax, ay = ratio * (cos_2t * ax - sin_2t * ay), ratio * (sin_2t * ax + cos_2t * ay)
         s_t = s_t + 1.0 / (2 * n - 2 + t) + 1.0 / (2 * n + 2 - t)
@@ -93,13 +96,12 @@ def _omega_bwd(niter, res, ct):
         g_th = g_th + (2 * n + 1) * (-ct_x * ay + ct_y * ax)
         g_f = g_f + (n / f) * dot
         g_t = g_t + s_t * dot
-        return (ax, ay, s_t, g_th, g_f, g_t), None
+        return (ax, ay, s_t, g_th, g_f, g_t)
 
     # n = 0 term: a_0 = e^{i theta}; contributes only to g_theta
     g_th0 = -ct_x * sin_t + ct_y * cos_t
-    ns = jnp.arange(1, niter, dtype=jnp.result_type(float))
-    (_, _, _, g_th, g_f, g_t), _ = lax.scan(
-        step, (cos_t, sin_t, zero, g_th0, zero, zero), ns, unroll=_UNROLL
+    _, _, _, g_th, g_f, g_t = lax.fori_loop(
+        1, niter, step, (cos_t, sin_t, zero, g_th0, zero, zero), unroll=_UNROLL
     )
 
     def _reduce_to(g, x):

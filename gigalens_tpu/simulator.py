@@ -114,11 +114,9 @@ class LensSimulator:
         self._fused_niter = self._detect_fused_pattern(phys_model)
         use_fused = sim_config.use_fused_render
         if use_fused is None:
-            import jax
-
-            use_fused = (
-                self._fused_niter is not None and jax.default_backend() == "tpu"
-            )
+            # measured neutral vs XLA on v5e (the render is transcendental-
+            # compute-bound, not HBM-bound) — keep opt-in for now
+            use_fused = False
         self._use_fused = bool(use_fused) and self._fused_niter is not None
 
     @staticmethod
