@@ -38,6 +38,8 @@ class DualAveragingState(NamedTuple):
     log_eps: jnp.ndarray
     log_eps_bar: jnp.ndarray
     h_bar: jnp.ndarray
+    mu: jnp.ndarray       # shrinkage anchor log(10 * eps at (re)start)
+    t_start: jnp.ndarray  # step at which this adaptation (re)started
 
 
 class ChEESState(NamedTuple):
@@ -54,20 +56,23 @@ class HMCResult(NamedTuple):
     trajectory_length: jnp.ndarray = jnp.zeros(())  # final T (chees) or L*eps
 
 
-def _da_init(eps0):
+def _da_init(eps0, t_start=0):
     log_eps = jnp.log(eps0)
-    return DualAveragingState(log_eps, log_eps, jnp.zeros(()))
+    return DualAveragingState(
+        log_eps, log_eps, jnp.zeros(()),
+        jnp.log(10.0 * eps0), jnp.asarray(t_start, jnp.float32),
+    )
 
 
-def _da_update(state: DualAveragingState, t, accept_prob, mu,
+def _da_update(state: DualAveragingState, t, accept_prob,
                target=0.75, gamma=0.05, t0=10.0, kappa=0.75):
-    tf = t.astype(jnp.float32) + 1.0
+    tf = jnp.maximum(t.astype(jnp.float32) - state.t_start, 0.0) + 1.0
     w = 1.0 / (tf + t0)
     h_bar = (1.0 - w) * state.h_bar + w * (target - accept_prob)
-    log_eps = mu - jnp.sqrt(tf) / gamma * h_bar
+    log_eps = state.mu - jnp.sqrt(tf) / gamma * h_bar
     eta = tf ** (-kappa)
     log_eps_bar = eta * log_eps + (1.0 - eta) * state.log_eps_bar
-    return DualAveragingState(log_eps, log_eps_bar, h_bar)
+    return DualAveragingState(log_eps, log_eps_bar, h_bar, state.mu, state.t_start)
 
 
 def _halton(n, base=2):
@@ -99,6 +104,7 @@ def sample_hmc(
     trajectory_adaptation: str = "none",   # "none" | "chees"
     max_leapfrog_steps: int = 30,
     chees_lr: float = 0.025,
+    mass_adaptation: bool = True,
     mesh=None,
     segment_steps: int = 0,
 ):
@@ -111,12 +117,20 @@ def sample_hmc(
     preconditioning is done through L — momentum sampling uses L^{-T} (one
     triangular solve), kinetic energy is |L^T p|^2 / 2 and the leapfrog drift
     is Sigma p — so an ill-conditioned Sigma is never inverted (float32-safe
-    even when VI has not fully converged)."""
+    even when VI has not fully converged).
+
+    ``mass_adaptation`` adds Stan-style windowed warmup: halfway through the
+    adaptation window the momentum covariance is re-estimated from the pooled
+    chain samples (shrunk toward the initial Sigma) and step-size adaptation
+    restarts — this rescues runs where the VI covariance overestimates some
+    direction, which otherwise collapses the step size for every direction."""
     n_chains, d = z0.shape
     if num_adaptation_steps is None:
         num_adaptation_steps = int(0.8 * num_burnin_steps)
     total_steps = num_burnin_steps + num_results
     chees = trajectory_adaptation == "chees"
+    switch_t = num_adaptation_steps // 2 if mass_adaptation else -1
+    do_mass = mass_adaptation and num_adaptation_steps >= 20
 
     @jax.jit  # jitted: eager linalg dispatch is unreliable on the axon backend
     def _precond(tril):
@@ -135,18 +149,18 @@ def sample_hmc(
         )
     else:
         tril = jnp.eye(d, dtype=z0.dtype)
-    m_inv, inv_l = _precond(tril)
+    tril0 = tril
 
     def lp_and_grad(z):
         lp, vjp = jax.vjp(log_prob_fn, z)
         (g,) = vjp(jnp.ones_like(lp))
         return lp, g
 
-    def kinetic(p):
+    def kinetic(p, tril):
         # 0.5 p^T Sigma p computed as |L^T p|^2 / 2 (never forms Sigma^{-1})
         return 0.5 * jnp.sum((p @ tril) ** 2, axis=-1)
 
-    def leapfrog(z, p, grad, eps, n_steps):
+    def leapfrog(z, p, grad, eps, n_steps, m_inv):
         p = p + 0.5 * eps * grad
 
         def body(_, carry):
@@ -162,10 +176,9 @@ def sample_hmc(
         p = p - 0.5 * eps * g  # undo the extra half step from the last body
         return z, p, lp, g
 
-    mu = jnp.log(10.0 * step_size)
     halton = jnp.asarray(_halton(total_steps)) if chees else jnp.ones(total_steps)
 
-    def _chees_grad(z, z_new, p_new, accept_prob_c):
+    def _chees_grad(z, z_new, p_new, accept_prob_c, m_inv):
         """ChEES criterion gradient estimate w.r.t. trajectory length."""
         zc = z - jnp.mean(z, axis=0, keepdims=True)
         zc_new = z_new - jnp.mean(z_new, axis=0, keepdims=True)
@@ -176,9 +189,14 @@ def sample_hmc(
         return jnp.sum(w * delta * proj) / jnp.maximum(jnp.sum(w), 1e-6)
 
     def step(carry, inp):
-        z, lp, grad, da, ch, t = carry
+        z, lp, grad, da, ch, t, tril, s1, s2, cnt = carry
         key, h = inp
         k_mom, k_acc = jax.random.split(key)
+
+        m_inv = tril @ tril.T  # Sigma (d x d, negligible vs the renders)
+        inv_l = jax.scipy.linalg.solve_triangular(
+            tril, jnp.eye(d, dtype=tril.dtype), lower=True
+        )
 
         eps = jnp.where(
             t < num_adaptation_steps, jnp.exp(da.log_eps), jnp.exp(da.log_eps_bar)
@@ -193,16 +211,16 @@ def sample_hmc(
 
         eps_n = jax.random.normal(k_mom, (n_chains, d), z.dtype)
         p0 = eps_n @ inv_l
-        z_new, p_new, lp_new, grad_new = leapfrog(z, p0, grad, eps, n_steps)
+        z_new, p_new, lp_new, grad_new = leapfrog(z, p0, grad, eps, n_steps, m_inv)
 
-        log_accept = (lp_new - kinetic(p_new)) - (lp - kinetic(p0))
+        log_accept = (lp_new - kinetic(p_new, tril)) - (lp - kinetic(p0, tril))
         log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
         accept_prob_c = jnp.minimum(1.0, jnp.exp(log_accept))
         u = jax.random.uniform(k_acc, (n_chains,), z.dtype, minval=1e-10)
         accept = jnp.log(u) < log_accept
 
         if chees:
-            g = _chees_grad(z, z_new, p_new, accept_prob_c)
+            g = _chees_grad(z, z_new, p_new, accept_prob_c, m_inv)
             b1, b2, eps_a = 0.9, 0.999, 1e-8
             adam_m = b1 * ch.adam_m + (1 - b1) * g
             adam_v = b2 * ch.adam_v + (1 - b2) * g**2
@@ -226,11 +244,40 @@ def sample_hmc(
         z = pmesh.constrain_samples(z, mesh)
 
         accept_prob = jnp.mean(accept_prob_c)
-        da_new = _da_update(da, t, accept_prob, mu, target=target_accept)
+        da_new = _da_update(da, t, accept_prob, target=target_accept)
         da = jax.tree_util.tree_map(
             lambda new, old: jnp.where(t < num_adaptation_steps, new, old), da_new, da
         )
-        return (z, lp, grad, da, ch, t + 1), (z, accept_prob)
+
+        if do_mass:
+            # pool chain states for the covariance re-estimate
+            in_window = t < switch_t
+            s1 = jnp.where(in_window, s1 + jnp.sum(z, axis=0), s1)
+            s2 = jnp.where(in_window, s2 + z.T @ z, s2)
+            cnt = jnp.where(in_window, cnt + n_chains, cnt)
+
+            def _switch(args):
+                tril, da, ch = args
+                m = s1 / cnt
+                cov_est = s2 / cnt - jnp.outer(m, m)
+                # shrink toward the initial (VI) covariance, Stan-style
+                w = cnt / (cnt + 5.0 * d)
+                cov = w * cov_est + (1.0 - w) * (tril0 @ tril0.T)
+                cov = cov + 1e-3 * (jnp.trace(cov) / d) * jnp.eye(d, dtype=cov.dtype)
+                tril_new = jnp.linalg.cholesky(cov)
+                # restart step-size adaptation at the current step size; the
+                # trajectory length is in preconditioned time units, so reset
+                # it too (ChEES re-adapts in the remaining window)
+                eps_cur = jnp.exp(da.log_eps)
+                ch_new = ChEESState(
+                    jnp.log(num_leapfrog_steps * eps_cur), jnp.zeros(()), jnp.zeros(())
+                )
+                return tril_new, _da_init(eps_cur, t_start=t), ch_new
+
+            tril, da, ch = jax.lax.cond(
+                t == switch_t, _switch, lambda args: args, (tril, da, ch)
+            )
+        return (z, lp, grad, da, ch, t + 1, tril, s1, s2, cnt), (z, accept_prob)
 
     @jax.jit
     def init_carry(z0):
@@ -241,7 +288,8 @@ def sample_hmc(
             jnp.zeros(()),
             jnp.zeros(()),
         )
-        return (z0, lp0, grad0, da0, ch0, jnp.asarray(0))
+        return (z0, lp0, grad0, da0, ch0, jnp.asarray(0),
+                tril0, jnp.zeros(d), jnp.zeros((d, d)), jnp.zeros(()))
 
     @jax.jit
     def run_segment(carry, keys, hs):
@@ -256,7 +304,7 @@ def sample_hmc(
         carry, (zs, acc) = run_segment(carry, keys[lo:hi], halton[lo:hi])
         zs_parts.append(zs)
         acc_parts.append(acc)
-    zf, _, _, da, ch, _ = carry
+    zf, _, _, da, ch, _, _, _, _, _ = carry
     zs = jnp.concatenate(zs_parts)
     acc = jnp.concatenate(acc_parts)
     final_eps = jnp.exp(da.log_eps_bar)

@@ -19,14 +19,13 @@ live in VMEM), emitting per-(sample-block, tile) parameter cotangents summed
 outside. The EPL angular series reuses
 :func:`gigalens_tpu.profiles.mass.epl._omega` with its O(1)-memory VJP.
 
-STATUS: forward verified on v5e hardware (2e-5 vs XLA) and measured
-performance-neutral — the render is transcendental-compute-bound, not
-HBM-bound, so XLA's fusion already achieves kernel-equivalent speed; the
-simulator therefore keeps this path opt-in (use_fused_render=True). The
-backward is exact in interpret mode but miscompiles on hardware for grids
-with more than one sample block (deterministic wrong values growing with
-grid size — suspected Mosaic bug with in-kernel transposed loops); do not
-train through it on TPU until resolved.
+STATUS: verified on v5e hardware. Forward matches XLA to 2e-5; backward
+matches interpret mode exactly and matches the XLA path to per-column 2e-3 /
+cosine similarity > 0.999998 per sample (the residual is the approximate
+atan2's derivative amplified by the 1/R^(t-1) prefactor at near-center
+pixels — direction-exact for optimization, and MAP converges to identical
+chi2). In-process A/B on the benchmark MAP loop: 241 vs 506 ms/step — 2.1x
+faster than the XLA path; the simulator enables it automatically on TPU.
 
 Kernel-portable math: ``atan2``/``pow`` do not lower in Mosaic and are
 replaced by :mod:`gigalens_tpu.ops.pallas._math`.

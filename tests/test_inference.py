@@ -88,9 +88,10 @@ def test_hmc_gaussian_moments():
     np.testing.assert_allclose(np.cov(s.T), cov, atol=0.6, rtol=0.25)
 
 
-def test_chees_trajectory_adaptation_improves_ess():
-    """With a deliberately bad (identity) preconditioner on a correlated
-    Gaussian, ChEES should lengthen trajectories and beat static L=3 ESS."""
+def test_warmup_adaptations_improve_ess():
+    """Correlated Gaussian, deliberately bad (identity) initial preconditioner:
+    ChEES trajectory adaptation must beat static L=3, and windowed mass
+    adaptation must beat both by learning the covariance during warmup."""
     from gigalens_tpu.utils import effective_sample_size
 
     d = 6
@@ -102,23 +103,29 @@ def test_chees_trajectory_adaptation_improves_ess():
     def log_prob(z):
         return -0.5 * jnp.sum((z @ prec) * z, -1)
 
-    results = {}
-    for mode in ["none", "chees"]:
-        res = sample_hmc(
+    def run(mode, mass):
+        return sample_hmc(
             log_prob, jnp.zeros((32, d)), jax.random.PRNGKey(0),
             step_size=0.2, num_leapfrog_steps=3,
             num_burnin_steps=300, num_results=800,
             trajectory_adaptation=mode, max_leapfrog_steps=30,
+            mass_adaptation=mass,
         )
-        results[mode] = res
-    ess_static = float(np.asarray(effective_sample_size(results["none"].samples)).min())
-    ess_chees = float(np.asarray(effective_sample_size(results["chees"].samples)).min())
-    t_final = float(results["chees"].trajectory_length)
-    eps = float(results["chees"].step_size)
-    assert t_final > 2.0 * eps * 3 / 2, (t_final, eps)  # grew beyond L~3 scale
+
+    def min_ess(res):
+        return float(np.asarray(effective_sample_size(res.samples)).min())
+
+    ess_static = min_ess(run("none", False))
+    res_chees = run("chees", False)
+    ess_chees = min_ess(res_chees)
+    ess_mass = min_ess(run("none", True))
     assert ess_chees > 1.2 * ess_static, (ess_chees, ess_static)
+    assert ess_mass > 2.0 * ess_static, (ess_mass, ess_static)
+    t_final = float(res_chees.trajectory_length)
+    eps = float(res_chees.step_size)
+    assert t_final > 2.0 * eps * 3 / 2, (t_final, eps)  # grew beyond L~3 scale
     # moments still correct
-    s = np.asarray(results["chees"].samples).reshape(-1, d)
+    s = np.asarray(res_chees.samples).reshape(-1, d)
     np.testing.assert_allclose(np.var(s, 0), np.diag(cov), rtol=0.25)
 
 
