@@ -160,17 +160,45 @@ class MassSeries(MassProfile):
         out = out.reshape(-1, c, *coefs.shape[2:])
         return jnp.moveaxis(out, 1, 0)  # (c, bs, npix)
 
+    def _on_grid(self, x):
+        """True when (x matches the precomputed grid) so coefficients apply."""
+        return (
+            self._x is not None
+            and int(np.prod(jnp.shape(x))) == int(np.prod(jnp.shape(self._x)))
+        )
+
+    def _direct_kwargs(self, kwargs):
+        """Full parameter set for exact evaluation off the precomputed grid."""
+        kw = {
+            k: v for k, v in self._constants_dict.items()
+            if k not in (self.series_param,)
+        }
+        kw.update(kwargs)
+        return kw
+
     def deriv(self, x, y, **kwargs):
+        if not self._on_grid(x) or self._deriv_coefs is None:
+            # off-grid points (e.g. multiple-image centroids): evaluate the
+            # underlying profile exactly — cheap for a handful of points
+            return self._direct_deriv(x, y, **kwargs)
         amp = jnp.reshape(jnp.asarray(kwargs[self.amplitude_param]), (-1, 1))
         var = kwargs[self.series_param]
         fx, fy = self._poly_eval(self._deriv_coefs, var)
         return amp * fx, amp * fy
 
+    def _direct_deriv(self, x, y, **kwargs):
+        return self.profile.deriv(x, y, **self._direct_kwargs(kwargs))
+
     def hessian(self, x, y, **kwargs):
+        if not self._on_grid(x) or self._hessian_coefs is None:
+            return self._direct_hessian(x, y, **kwargs)
         amp = jnp.reshape(jnp.asarray(kwargs[self.amplitude_param]), (-1, 1))
         var = kwargs[self.series_param]
         f_xx, f_xy, f_yy = self._poly_eval(self._hessian_coefs, var)
         return amp * f_xx, amp * f_xy, amp * f_xy, amp * f_yy
+
+    def _direct_hessian(self, x, y, **kwargs):
+        return self.profile.hessian(x, y, **self._direct_kwargs(kwargs))
 
 
 class ScalingRelationSeries(MassSeries):
@@ -239,6 +267,24 @@ class ScalingRelationSeries(MassSeries):
             contrib = jnp.einsum("kc,kncp->knp", w, stack)
             total = contrib if total is None else total + contrib
         return total  # (order+1, n_comp, npix)
+
+    def _direct_deriv(self, x, y, **kwargs):
+        return self._rel.deriv(x, y, **self._scales_for_direct(kwargs))
+
+    def _direct_hessian(self, x, y, **kwargs):
+        return self._rel.hessian(x, y, **self._scales_for_direct(kwargs))
+
+    def _scales_for_direct(self, kwargs):
+        """Global scaling values for every scaling param (constants filled in)."""
+        out = {}
+        for k in self._rel.scaling_params:
+            if k in kwargs:
+                out[k] = kwargs[k]
+            elif k in self._constants_dict:
+                out[k] = jnp.asarray(self._constants_dict[k])
+            else:
+                raise KeyError(f"missing scaling parameter {k}")
+        return out
 
     def precompute_deriv(self, order, x, y, **params):
         def comp(x, y, **kw):
