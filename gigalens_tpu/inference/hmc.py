@@ -189,7 +189,7 @@ def sample_hmc(
         return jnp.sum(w * delta * proj) / jnp.maximum(jnp.sum(w), 1e-6)
 
     def step(carry, inp):
-        z, lp, grad, da, ch, t, tril, s1, s2, cnt = carry
+        z, lp, grad, da, ch, t, tril, s1, s2, cnt, z_ref = carry
         key, h = inp
         k_mom, k_acc = jax.random.split(key)
 
@@ -250,10 +250,14 @@ def sample_hmc(
         )
 
         if do_mass:
-            # pool chain states for the covariance re-estimate
+            # pool chain states for the covariance re-estimate; moments are
+            # accumulated CENTERED on the initial chain mean z_ref — with
+            # z ~ O(10) and small moves, raw E[zz^T] - mm^T cancels
+            # catastrophically in float32 and goes non-PD
             in_window = t < switch_t
-            s1 = jnp.where(in_window, s1 + jnp.sum(z, axis=0), s1)
-            s2 = jnp.where(in_window, s2 + z.T @ z, s2)
+            zc = z - z_ref
+            s1 = jnp.where(in_window, s1 + jnp.sum(zc, axis=0), s1)
+            s2 = jnp.where(in_window, s2 + zc.T @ zc, s2)
             cnt = jnp.where(in_window, cnt + n_chains, cnt)
 
             def _switch(args):
@@ -265,6 +269,8 @@ def sample_hmc(
                 cov = w * cov_est + (1.0 - w) * (tril0 @ tril0.T)
                 cov = cov + 1e-3 * (jnp.trace(cov) / d) * jnp.eye(d, dtype=cov.dtype)
                 tril_new = jnp.linalg.cholesky(cov)
+                # keep the old preconditioner if the estimate is unusable
+                tril_new = jnp.where(jnp.any(jnp.isnan(tril_new)), tril, tril_new)
                 # restart step-size adaptation at the current step size; the
                 # trajectory length is in preconditioned time units, so reset
                 # it too (ChEES re-adapts in the remaining window)
@@ -277,7 +283,7 @@ def sample_hmc(
             tril, da, ch = jax.lax.cond(
                 t == switch_t, _switch, lambda args: args, (tril, da, ch)
             )
-        return (z, lp, grad, da, ch, t + 1, tril, s1, s2, cnt), (z, accept_prob)
+        return (z, lp, grad, da, ch, t + 1, tril, s1, s2, cnt, z_ref), (z, accept_prob)
 
     @jax.jit
     def init_carry(z0):
@@ -289,7 +295,8 @@ def sample_hmc(
             jnp.zeros(()),
         )
         return (z0, lp0, grad0, da0, ch0, jnp.asarray(0),
-                tril0, jnp.zeros(d), jnp.zeros((d, d)), jnp.zeros(()))
+                tril0, jnp.zeros(d), jnp.zeros((d, d)), jnp.zeros(()),
+                jnp.mean(z0, axis=0))
 
     @jax.jit
     def run_segment(carry, keys, hs):
@@ -304,7 +311,7 @@ def sample_hmc(
         carry, (zs, acc) = run_segment(carry, keys[lo:hi], halton[lo:hi])
         zs_parts.append(zs)
         acc_parts.append(acc)
-    zf, _, _, da, ch, _, _, _, _, _ = carry
+    zf, _, _, da, ch, _, _, _, _, _, _ = carry
     zs = jnp.concatenate(zs_parts)
     acc = jnp.concatenate(acc_parts)
     final_eps = jnp.exp(da.log_eps_bar)
@@ -323,6 +330,7 @@ def fit_hmc(
     num_results: int = 750,
     max_leapfrog_steps: int = 30,
     trajectory_adaptation: str = "chees",
+    mass_adaptation: bool = True,
     seed: int = 0,
     mesh=None,
     segment_steps: int = 0,
@@ -356,6 +364,7 @@ def fit_hmc(
         momentum_covariance=None if hasattr(q_z, "scale_tril") else q_z.covariance(),
         trajectory_adaptation=trajectory_adaptation,
         max_leapfrog_steps=max_leapfrog_steps,
+        mass_adaptation=mass_adaptation,
         mesh=mesh,
         segment_steps=segment_steps,
     )

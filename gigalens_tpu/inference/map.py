@@ -96,6 +96,43 @@ def fit_map(
     return (z, hist) if return_history else z
 
 
+def laplace_scale_tril(prob_model, simulator, z_best, floor_ratio: float = 1e-6):
+    """Cholesky factor of the Laplace covariance at the MAP point.
+
+    Computes the exact Hessian of the unconstrained log posterior at
+    ``z_best`` (shape (1, d) or (d,)) via reverse-over-reverse AD (compatible
+    with custom_vjp profiles), eigen-floors it for positive-definiteness, and
+    returns ``chol(H^{-1})``.
+
+    The reference avoids the Hessian because it "can become unstable in high
+    dimensions" as a sampler mass matrix; as an SVI *initializer* and HMC
+    preconditioner the floored inverse is far more reliable than a
+    half-converged VI covariance — it is deterministic and captures the
+    data-dominated tiny scales exactly.
+    """
+    z_best = jnp.reshape(jnp.asarray(z_best), (1, -1))
+    d = z_best.shape[-1]
+
+    def neg_lp(zrow):
+        return -prob_model.log_prob(simulator, zrow[None, :])[0][0]
+
+    @jax.jit
+    def _laplace(z):
+        h = jax.jacrev(jax.grad(neg_lp))(z[0])
+        h = 0.5 * (h + h.T)
+        lam, vec = jnp.linalg.eigh(h)
+        # |lam|: at an approximate optimum the Hessian can be indefinite; the
+        # magnitude still measures curvature scale in that direction
+        lam = jnp.maximum(jnp.abs(lam), jnp.max(jnp.abs(lam)) * floor_ratio)
+        cov = (vec / lam) @ vec.T
+        cov = 0.5 * (cov + cov.T)
+        return jnp.linalg.cholesky(
+            cov + jnp.trace(cov) / d * 1e-6 * jnp.eye(d, dtype=cov.dtype)
+        )
+
+    return _laplace(z_best)
+
+
 def best_start(prob_model, simulator, z) -> jnp.ndarray:
     """Selects the highest-posterior sample; returns it shaped (1, d)."""
 

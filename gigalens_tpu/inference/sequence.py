@@ -59,6 +59,18 @@ class ModellingSequence:
         sim = self._sim(z.shape[0])
         return best_start(self.prob_model, sim, z)
 
+    def laplace_scale_tril(self, z_best):
+        """chol of the Laplace covariance at the MAP — the recommended
+        ``init_scales`` for SVI (and a robust HMC preconditioner on its own)."""
+        import dataclasses
+
+        from gigalens_tpu.inference.map import laplace_scale_tril
+
+        # second-order AD cannot cross the fused kernel's custom VJP
+        cfg = dataclasses.replace(self.sim_config, use_fused_render=False)
+        sim = LensSimulator(self.phys_model, cfg, bs=1)
+        return laplace_scale_tril(self.prob_model, sim, z_best)
+
     def SVI(
         self,
         start,
@@ -94,6 +106,7 @@ class ModellingSequence:
         num_results: int = 750,
         max_leapfrog_steps: int = 30,
         trajectory_adaptation: str = "chees",
+        mass_adaptation: bool = True,
         seed: int = 0,
         segment_steps: int = 0,
     ):
@@ -110,6 +123,7 @@ class ModellingSequence:
             num_results=num_results,
             max_leapfrog_steps=max_leapfrog_steps,
             trajectory_adaptation=trajectory_adaptation,
+            mass_adaptation=mass_adaptation,
             seed=seed,
             mesh=self.mesh,
             segment_steps=segment_steps,
