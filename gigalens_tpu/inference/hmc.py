@@ -331,6 +331,7 @@ def fit_hmc(
     max_leapfrog_steps: int = 30,
     trajectory_adaptation: str = "chees",
     mass_adaptation: bool = True,
+    init_spread: float = 0.2,
     seed: int = 0,
     mesh=None,
     segment_steps: int = 0,
@@ -345,7 +346,16 @@ def fit_hmc(
     """
     key = jax.random.PRNGKey(seed)
     k_init, k_chain = jax.random.split(key)
-    z0 = jax.jit(lambda k: q_z.sample(k, (n_hmc,)))(k_init)
+
+    # start chains in a contracted cloud around the surrogate mean: samples
+    # from an overdispersed q land in high-curvature tails, whose early
+    # divergences trap dual averaging at a collapsed step size
+    @jax.jit
+    def _init(k):
+        z = q_z.sample(k, (n_hmc,))
+        return q_z.mean()[None, :] + init_spread * (z - q_z.mean()[None, :])
+
+    z0 = _init(k_init)
     if mesh is not None and mesh.size > 1:
         z0 = pmesh.shard_samples(z0, mesh)
 
