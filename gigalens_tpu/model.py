@@ -249,7 +249,11 @@ class BackwardProbModel:
         log_like = -0.5 * jnp.sum(chi2_pix, axis=(-2, -1)) + self._log_norm
         log_prior = self.prior.log_prob(x) + self.prior.fldj(z)
         red_chi2 = jnp.mean(chi2_pix, axis=(-2, -1))
-        return log_like + log_prior, red_chi2
+        batch = z.shape[:-1]  # bs=1 squeeze leaves scalars; match Forward's shape
+        return (
+            jnp.broadcast_to(log_like + log_prior, batch),
+            jnp.broadcast_to(red_chi2, batch),
+        )
 
     def log_like(self, simulator, z):
         x = self.prior.constrain(z)

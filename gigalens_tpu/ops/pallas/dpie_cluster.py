@@ -18,6 +18,13 @@ Gradients: custom VJP — theta_E scaling is linear (grad = out/theta), and the
 
 Kernel-portable math: ``atan2`` does not lower in Mosaic and is replaced by
 :mod:`gigalens_tpu.ops.pallas._math`.
+
+STATUS (v5e, G=200, P=25600, bs=64, in-process A/B): the XLA scaling path
+with chunk rematerialization runs 13.4 ms fwd / 22 ms fwd+grad vs this
+kernel's 27.6 / 81.6 ms — the sequential per-galaxy loop underutilizes the
+VPU while XLA fuses whole chunks. The kernel therefore stays opt-in
+(DPIESubhaloPallas); the production-fast cluster path is the Taylor-series
+stack (5.9 / 3.9 ms after precompute, profiles/mass/series.py).
 """
 from __future__ import annotations
 

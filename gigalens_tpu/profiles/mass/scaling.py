@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
@@ -92,9 +93,14 @@ class ScalingRelation(MassProfile):
         coordinates (npix,), producing (..., chunk, npix); the chunk axis is
         summed immediately, and lax.scan accumulates across chunks.
         """
-        def body(acc, chunk_idx):
+        # remat: without it, reverse-mode through the chunk scan stores every
+        # (bs, chunk, npix) profile intermediate per chunk — OOM at cluster
+        # scale; recomputing the chunk forward during backward is cheap
+        @jax.checkpoint
+        def chunk_out(chunk_idx, scale_vals):
             p = {
-                k: jnp.expand_dims(scales[k], -1) * self._unscaled[k][chunk_idx][:, None]
+                k: jnp.expand_dims(scale_vals[k], -1)
+                * self._unscaled[k][chunk_idx][:, None]
                 for k in self.scaling_params
             }  # (bs, chunk, 1) each
             c = {
@@ -102,7 +108,11 @@ class ScalingRelation(MassProfile):
                 for k in self.not_scaling_params
             }  # (chunk, 1)
             out = fn(x, y, **p, **c)
-            acc = tuple(a + jnp.sum(o, axis=-2) for a, o in zip(acc, out))
+            return tuple(jnp.sum(o, axis=-2) for o in out)
+
+        def body(acc, chunk_idx):
+            out = chunk_out(chunk_idx, scales)
+            acc = tuple(a + o for a, o in zip(acc, out))
             return acc, None
 
         # probe output structure with zeros of the right rank
