@@ -49,7 +49,9 @@ from jax.experimental.pallas import tpu as pltpu
 from gigalens_tpu.ops.pallas._math import atan2 as _atan2, powp as _powp
 from gigalens_tpu.profiles.mass.epl import _omega
 
-PIX_BLK = 512
+import os
+
+PIX_BLK = int(os.environ.get("GIGALENS_FUSED_PIX_BLK", "512"))
 S_BLK = 8       # samples per block (sublane axis)
 N_PARAMS = 22
 P_PAD = 128     # params row padded to one full lane vector
