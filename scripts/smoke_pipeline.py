@@ -1,4 +1,11 @@
 """Dev smoke: full MAP -> SVI -> HMC -> SMC pipeline on CPU, tiny config."""
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
+
 import time
 
 import jax
