@@ -129,11 +129,15 @@ class PSFConv:
     (kernel flipped), matching the reference's ``lax.conv`` usage.
     """
 
-    def __init__(self, kernel: np.ndarray, img_shape, mode: str = "fft"):
+    def __init__(self, kernel: np.ndarray, img_shape, mode: str = "fft",
+                 pool: int = 1):
         self.kernel = np.asarray(kernel, np.float32)
         self.kh, self.kw = self.kernel.shape
         self.h, self.w = int(img_shape[0]), int(img_shape[1])
         self.mode = mode
+        # pool > 1 (dft mode only) folds the trailing average-pool into the
+        # inverse transform: the conv then emits (H/pool, W/pool) directly.
+        self.pool = int(pool) if mode == "dft" else 1
 
         if mode == "dft":
             # DFT-by-matmul: XLA's TPU FFT runs on the VPU and costs ~200us
@@ -141,6 +145,12 @@ class PSFConv:
             # matmuls runs on the MXU at a small fraction of that. All
             # factors are real numpy pairs (the axon backend cannot move
             # complex64 across the host boundary).
+            #
+            # The factors are shaped to do no wasted work: the forward
+            # matrices are rectangular (fh, H) / (fw, W) slices (the zero
+            # padding contributes nothing), and the inverse matrices fold in
+            # the 'SAME' crop and, when ``pool`` > 1, the average-pool —
+            # both are linear row/column selections of the full inverse DFT.
             fh = _good_fft_size(self.h + self.kh - 1)
             fw = _good_fft_size(self.w + self.kw - 1)
             self.fshape = (fh, fw)
@@ -154,19 +164,30 @@ class PSFConv:
                 w = np.exp(-2j * np.pi * np.outer(np.arange(n), np.arange(n)) / n)
                 return w
 
+            oy, ox = self.kh // 2, self.kw // 2
+            p = self.pool
+            if p > 1 and (self.h % p or self.w % p):
+                raise ValueError("pool must divide the image shape")
+
+            def fold(inv, off, size):
+                """Crop rows [off, off+size) and mean-pool blocks of p."""
+                sel = inv[off : off + size]
+                if p == 1:
+                    return sel
+                return sel.reshape(size // p, p, -1).mean(axis=1)
+
             Fh = dft(fh)
             Fw = dft(fw)
-            self._fh_re = Fh.real.astype(np.float32)
-            self._fh_im = Fh.imag.astype(np.float32)
-            self._fw_re = Fw.real.astype(np.float32)
-            self._fw_im = Fw.imag.astype(np.float32)
-            # inverse DFT = conj(F)/n
-            self._ih_re = (Fh.real / fh).astype(np.float32)
-            self._ih_im = (-Fh.imag / fh).astype(np.float32)
-            self._iw_re = (Fw.real / fw).astype(np.float32)
-            self._iw_im = (-Fw.imag / fw).astype(np.float32)
-            self._oy = self.kh // 2
-            self._ox = self.kw // 2
+            self._fh_re = Fh.real[:, : self.h].astype(np.float32).copy()
+            self._fh_im = Fh.imag[:, : self.h].astype(np.float32).copy()
+            self._fw_re = Fw.real[:, : self.w].astype(np.float32).copy()
+            self._fw_im = Fw.imag[:, : self.w].astype(np.float32).copy()
+            # inverse DFT = conj(F)/n, with crop (+pool) folded in
+            self._ih_re = fold(Fh.real / fh, oy, self.h).astype(np.float32)
+            self._ih_im = fold(-Fh.imag / fh, oy, self.h).astype(np.float32)
+            self._iw_re = fold(Fw.real / fw, ox, self.w).astype(np.float32)
+            self._iw_im = fold(-Fw.imag / fw, ox, self.w).astype(np.float32)
+            self.out_h, self.out_w = self.h // p, self.w // p
             return
 
         if mode == "fft":
@@ -203,17 +224,14 @@ class PSFConv:
     def _dft_conv(self, x):
         """Linear convolution via dense DFT matmuls (all-real arithmetic).
 
-        x: (n, H, W). Zero-pad to fshape, transform rows/cols by matmul,
-        multiply by the kernel spectrum, inverse-transform, crop 'SAME'.
+        x: (n, H, W). The rectangular forward factors implicitly zero-pad to
+        fshape; the inverse factors fold the 'SAME' crop (and optional
+        average-pool), emitting (n, out_h, out_w) directly.
         """
-        n = x.shape[0]
-        fh, fw = self.fshape
-        xp = jnp.zeros((n, fh, fw), x.dtype).at[:, : self.h, : self.w].set(x)
-
-        # rows: Y = F_h @ X  (X real)
-        yr = jnp.einsum("ij,njk->nik", self._fh_re, xp)
-        yi = jnp.einsum("ij,njk->nik", self._fh_im, xp)
-        # cols: Z = Y @ F_w^T
+        # rows: Y = F_h[:, :H] @ X -> (n, fh, W)
+        yr = jnp.einsum("ij,njk->nik", self._fh_re, x)
+        yi = jnp.einsum("ij,njk->nik", self._fh_im, x)
+        # cols: Z = Y @ F_w[:, :W]^T -> (n, fh, fw)
         zr = jnp.einsum("nik,jk->nij", yr, self._fw_re) - jnp.einsum(
             "nik,jk->nij", yi, self._fw_im
         )
@@ -223,25 +241,24 @@ class PSFConv:
         # spectrum product
         pr = zr * self._k_re - zi * self._k_im
         pi = zr * self._k_im + zi * self._k_re
-        # inverse rows
+        # inverse rows (crop/pool folded) -> (n, out_h, fw)
         ur = jnp.einsum("ij,njk->nik", self._ih_re, pr) - jnp.einsum(
             "ij,njk->nik", self._ih_im, pi
         )
         ui = jnp.einsum("ij,njk->nik", self._ih_re, pi) + jnp.einsum(
             "ij,njk->nik", self._ih_im, pr
         )
-        # inverse cols, real part only
-        out = jnp.einsum("nik,jk->nij", ur, self._iw_re) - jnp.einsum(
+        # inverse cols (crop/pool folded), real part only -> (n, out_h, out_w)
+        return jnp.einsum("nik,jk->nij", ur, self._iw_re) - jnp.einsum(
             "nik,jk->nij", ui, self._iw_im
         )
-        return out[:, self._oy : self._oy + self.h, self._ox : self._ox + self.w]
 
     def __call__(self, img):
         """img: (..., H, W) -> convolved (..., H, W)."""
         if self.mode == "dft":
             batch_shape = img.shape[:-2]
             x = img.reshape((-1, self.h, self.w))
-            return self._dft_conv(x).reshape((*batch_shape, self.h, self.w))
+            return self._dft_conv(x).reshape((*batch_shape, self.out_h, self.out_w))
         if self.mode == "fft":
             batch_shape = img.shape[:-2]
             x = img.reshape((-1, self.h, self.w))

@@ -108,7 +108,12 @@ class LensSimulator:
                     # XLA's TPU FFT is VPU-bound and slow; the dense-DFT
                     # matmul path runs on the MXU (see ops/psf.py)
                     mode = "dft" if jax.default_backend() == "tpu" else "fft"
-            self._conv = PSFConv(kern, (self.h_ss, self.w_ss), mode=mode)
+            # dft mode folds the supersample average-pool into the inverse
+            # transform (the conv emits native resolution directly)
+            self._conv = PSFConv(
+                kern, (self.h_ss, self.w_ss), mode=mode,
+                pool=self.supersample if mode == "dft" else 1,
+            )
 
         # ---- fused Pallas render (EPL+Shear + 2x SersicEllipse on TPU) -----
         self._fused_niter = self._detect_fused_pattern(phys_model)
@@ -256,9 +261,12 @@ class LensSimulator:
     def _postprocess(self, img):
         """nan guard -> PSF -> downsample -> pixel-area scale."""
         img = jnp.nan_to_num(img)
+        pooled = False
         if self._conv is not None:
             img = self._conv(img)
-        img = average_pool(img, self.supersample)
+            pooled = self._conv.pool > 1
+        if not pooled:
+            img = average_pool(img, self.supersample)
         return img * self.conversion_factor
 
     def simulate(self, params, no_deflection=False):

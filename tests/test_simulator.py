@@ -34,6 +34,23 @@ def test_fft_conv_even_kernel(rng):
     np.testing.assert_allclose(fft, direct, rtol=1e-4, atol=1e-4)
 
 
+def test_dft_matches_fft_conv(rng):
+    k = _gauss_psf(15)
+    img = rng.normal(size=(3, 40, 40)).astype(np.float32)
+    fft = PSFConv(k, (40, 40), mode="fft")(jnp.asarray(img))
+    dft = PSFConv(k, (40, 40), mode="dft")(jnp.asarray(img))
+    np.testing.assert_allclose(dft, fft, rtol=1e-4, atol=1e-4)
+
+
+def test_dft_pool_folding_matches_fft_then_pool(rng):
+    k = _gauss_psf(15)
+    img = rng.normal(size=(3, 40, 40)).astype(np.float32)
+    want = average_pool(PSFConv(k, (40, 40), mode="fft")(jnp.asarray(img)), 2)
+    got = PSFConv(k, (40, 40), mode="dft", pool=2)(jnp.asarray(img))
+    assert got.shape == (3, 20, 20)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_average_pool():
     x = jnp.arange(16.0).reshape(1, 4, 4)
     got = average_pool(x, 2)
