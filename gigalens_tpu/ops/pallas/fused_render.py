@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gigalens_tpu.ops.pallas._math import atan2 as _atan2, powp as _powp
-from gigalens_tpu.profiles.mass.epl import _omega
+from gigalens_tpu.profiles.mass.epl import _omega, _omega_bwd
 
 import os
 
@@ -74,14 +74,39 @@ def _sersic_light(x, y, R_s, n_s, e1, e2, cx, cy, Ie):
     return Ie * jnp.exp(-bn * (_powp(R / R_s, 1.0 / n_s) - 1.0))
 
 
-def _tile_fn(p, x, y, niter):
-    """p: (S_BLK, P_PAD) params; x, y: (1, PIX_BLK) -> (S_BLK, PIX_BLK)."""
+def _tile_geom(p, x, y):
+    """EPL ellipse-frame geometry: the inputs of the angular series.
+
+    Closed-form (loop-free). Returns (ang, f, t) with ang: (S_BLK, PIX_BLK),
+    f, t: (S_BLK, 1) — exactly the argument shapes ``_omega`` expects.
+    """
+    gam = _col(p, 1)
+    e1, e2 = _col(p, 2), _col(p, 3)
+    cx, cy = _col(p, 4), _col(p, 5)
+    phi = _atan2(e2, e1) / 2.0
+    c = jnp.minimum(jnp.sqrt(e1**2 + e2**2), 1.0)
+    q = (1.0 - c) / (1.0 + c)
+    dx, dy = x - cx, y - cy
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+    xr = dx * cp + dy * sp
+    yr = -dx * sp + dy * cp
+    ang = _atan2(yr, q * xr)
+    f = (1.0 - q) / (1.0 + q)
+    t = gam - 1.0
+    return ang, f, t
+
+
+def _tile_out(p, x, y, ox, oy):
+    """Surface brightness given the precomputed angular series (ox, oy).
+
+    Closed-form (loop-free): recomputes the cheap geometry, assembles the EPL
+    deflection from Omega, adds shear, shoots, evaluates both Sersics.
+    """
     te, gam = _col(p, 0), _col(p, 1)
     e1, e2 = _col(p, 2), _col(p, 3)
     cx, cy = _col(p, 4), _col(p, 5)
     g1, g2 = _col(p, 6), _col(p, 7)
 
-    # EPL deflection (ellipse-frame series, same math as profiles/mass/epl.py)
     phi = _atan2(e2, e1) / 2.0
     c = jnp.minimum(jnp.sqrt(e1**2 + e2**2), 1.0)
     q = (1.0 - c) / (1.0 + c)
@@ -92,9 +117,6 @@ def _tile_fn(p, x, y, niter):
     xr = dx * cp + dy * sp
     yr = -dx * sp + dy * cp
     R = jnp.clip(jnp.sqrt((q * xr) ** 2 + yr**2), 1e-10, 1e10)
-    ang = _atan2(yr, q * xr)
-    f = (1.0 - q) / (1.0 + q)
-    ox, oy = _omega(ang, f, t, niter)
     pref = (2.0 * b) / (1.0 + q) * _powp(b / R, t - 1.0)
     ax_r, ay_r = pref * ox, pref * oy
     ax = ax_r * cp - ay_r * sp
@@ -118,18 +140,45 @@ def _tile_fn(p, x, y, niter):
     return lens_light + src_light
 
 
-def _fwd_kernel(params_ref, x_ref, y_ref, out_ref, *, niter):
-    out_ref[:] = _tile_fn(params_ref[:], x_ref[:], y_ref[:], niter)
+def _tile_fn(p, x, y, niter):
+    """p: (S_BLK, P_PAD) params; x, y: (1, PIX_BLK) -> (S_BLK, PIX_BLK)."""
+    ang, f, t = _tile_geom(p, x, y)
+    ox, oy = _omega(ang, f, t, niter)
+    return _tile_out(p, x, y, ox, oy)
 
 
-def _bwd_kernel(params_ref, x_ref, y_ref, ct_ref, gp_ref, *, niter):
-    x = x_ref[:]
-    y = y_ref[:]
-    _, vjp_fn = jax.vjp(lambda pp: _tile_fn(pp, x, y, niter), params_ref[:])
-    (gp,) = vjp_fn(ct_ref[:])  # (S_BLK, P_PAD)
+def _fwd_kernel(params_ref, x_ref, y_ref, out_ref, ox_ref, oy_ref, *, niter):
+    p, x, y = params_ref[:], x_ref[:], y_ref[:]
+    ang, f, t = _tile_geom(p, x, y)
+    ox, oy = _omega(ang, f, t, niter)
+    ox_ref[:] = ox
+    oy_ref[:] = oy
+    out_ref[:] = _tile_out(p, x, y, ox, oy)
+
+
+def _bwd_kernel(params_ref, x_ref, y_ref, ox_ref, oy_ref, ct_ref, gp_ref, *, niter):
+    """One angular-series loop per tile (the forward loop's result Omega is a
+    saved residual): vjp through the closed-form output map gives the light /
+    shear / prefactor cotangents plus ct_Omega; ``_omega_bwd`` turns ct_Omega
+    into (ang, f, t) cotangents with its single O(1)-memory backward loop;
+    vjp through the closed-form geometry map carries those back to the params."""
+    p, x, y = params_ref[:], x_ref[:], y_ref[:]
+    ox, oy = ox_ref[:], oy_ref[:]
+    ct = ct_ref[:]
+
+    _, vjp_out = jax.vjp(
+        lambda pp, a, b: _tile_out(pp, x, y, a, b), p, ox, oy
+    )
+    gp1, ct_ox, ct_oy = vjp_out(ct)
+
+    ang, f, t = _tile_geom(p, x, y)
+    g_ang, g_f, g_t = _omega_bwd(niter, (ang, f, t), (ct_ox, ct_oy))
+
+    _, vjp_geom = jax.vjp(lambda pp: _tile_geom(pp, x, y), p)
+    (gp2,) = vjp_geom((g_ang, g_f, g_t))
     # per-(sample-block, tile) output; the tile sum happens outside the kernel
     # (revisited-block accumulation miscompiled on real hardware)
-    gp_ref[:] = gp
+    gp_ref[:] = gp1 + gp2
 
 
 def _prep(params, x, y):
@@ -152,14 +201,14 @@ def _prep(params, x, y):
     return bs, bs_p, n_sblk, P, n_tiles, Pp, x.reshape(1, Pp), y.reshape(1, Pp), params
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_render(params, x, y, niter: int = 18, interpret: bool = False):
-    """Fused flat-light render. params: (bs, N_PARAMS); x, y: (P,).
+def _render_impl(params, x, y, niter, interpret):
+    """Runs the forward kernel; returns (out[:bs,:P], ox_padded, oy_padded).
 
-    Returns (bs, P) surface brightness on the supersampled live pixels.
-    """
+    The padded Omega arrays are the custom-vjp residuals — saving them lets
+    the backward kernel skip the forward series loop entirely."""
     bs, bs_p, n_sblk, P, n_tiles, Pp, xp, yp, params_p = _prep(params, x, y)
-    out = pl.pallas_call(
+    blk = pl.BlockSpec((S_BLK, PIX_BLK), lambda b, p: (b, p), memory_space=pltpu.VMEM)
+    out, ox, oy = pl.pallas_call(
         functools.partial(_fwd_kernel, niter=niter),
         grid=(n_sblk, n_tiles),
         in_specs=[
@@ -167,23 +216,33 @@ def fused_render(params, x, y, niter: int = 18, interpret: bool = False):
             pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (S_BLK, PIX_BLK), lambda b, p: (b, p), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bs_p, Pp), jnp.float32),
+        out_specs=[blk, blk, blk],
+        out_shape=[jax.ShapeDtypeStruct((bs_p, Pp), jnp.float32)] * 3,
         interpret=interpret,
     )(params_p, xp, yp)
-    return out[:bs, :P]
+    return out[:bs, :P], ox, oy
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_render(params, x, y, niter: int = 18, interpret: bool = False):
+    """Fused flat-light render. params: (bs, N_PARAMS); x, y: (P,).
+
+    Returns (bs, P) surface brightness on the supersampled live pixels.
+    """
+    out, _, _ = _render_impl(params, x, y, niter, interpret)
+    return out
 
 
 def _fused_fwd(params, x, y, niter, interpret):
-    return fused_render(params, x, y, niter, interpret), (params, x, y)
+    out, ox, oy = _render_impl(params, x, y, niter, interpret)
+    return out, (params, x, y, ox, oy)
 
 
 def _fused_bwd(niter, interpret, res, ct):
-    params, x, y = res
+    params, x, y, ox, oy = res
     bs, bs_p, n_sblk, P, n_tiles, Pp, xp, yp, params_p = _prep(params, x, y)
     ct_p = jnp.zeros((bs_p, Pp), ct.dtype).at[:bs, :P].set(ct)
+    blk = pl.BlockSpec((S_BLK, PIX_BLK), lambda b, p: (b, p), memory_space=pltpu.VMEM)
     gp = pl.pallas_call(
         functools.partial(_bwd_kernel, niter=niter),
         grid=(n_sblk, n_tiles),
@@ -191,14 +250,16 @@ def _fused_bwd(niter, interpret, res, ct):
             pl.BlockSpec((S_BLK, P_PAD), lambda b, p: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
-            pl.BlockSpec((S_BLK, PIX_BLK), lambda b, p: (b, p), memory_space=pltpu.VMEM),
+            blk,
+            blk,
+            blk,
         ],
         out_specs=pl.BlockSpec(
             (S_BLK, P_PAD), lambda b, p: (b, p), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bs_p, n_tiles * P_PAD), jnp.float32),
         interpret=interpret,
-    )(params_p, xp, yp, ct_p)
+    )(params_p, xp, yp, ox, oy, ct_p)
     gp = gp.reshape(bs_p, n_tiles, P_PAD).sum(axis=1)
     return gp[:bs, :N_PARAMS], jnp.zeros_like(x), jnp.zeros_like(y)
 

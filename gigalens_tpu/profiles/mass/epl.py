@@ -85,6 +85,10 @@ def _omega_bwd(niter, res, ct):
     )
     zero = jnp.zeros(shape)
 
+    # s_t (the digamma partial sum) depends only on t — carry it at t's
+    # (bs, 1) shape so the two per-iteration divisions don't run per-pixel
+    s_t0 = jnp.zeros(jnp.broadcast_shapes(jnp.shape(t), jnp.shape(f)))
+
     def step(i, carry):
         ax, ay, s_t, g_th, g_f, g_t = carry
         n = i.astype(cos_t.dtype)
@@ -101,7 +105,7 @@ def _omega_bwd(niter, res, ct):
     # n = 0 term: a_0 = e^{i theta}; contributes only to g_theta
     g_th0 = -ct_x * sin_t + ct_y * cos_t
     _, _, _, g_th, g_f, g_t = lax.fori_loop(
-        1, niter, step, (cos_t, sin_t, zero, g_th0, zero, zero), unroll=_UNROLL
+        1, niter, step, (cos_t, sin_t, s_t0, g_th0, zero, zero), unroll=_UNROLL
     )
 
     def _reduce_to(g, x):
