@@ -29,12 +29,17 @@ class ModellingSequence:
 
     def _sim(self, bs: int, exact: bool = False) -> LensSimulator:
         """Phase simulator. ``exact=True`` (HMC/SMC) pins the auto PSF path to
-        the exact FFT convolution and disables the fused render: the fast DFT
-        matmul path carries ~0.3 nats of float32 likelihood noise — harmless
-        to the stochastic optimizers, fatal to Metropolis-Hastings acceptance
-        (measured: leapfrog |dH| 0.2-0.6 under DFT vs 0.02-0.08 under FFT at
-        identical step sizes, which collapses dual averaging). Explicit
-        sim_config choices are always respected."""
+        an f32-exact convolution and disables the fused render: the fast DFT
+        matmul path runs single-pass bf16 on the MXU and carries ~0.3 nats of
+        likelihood noise — harmless to the stochastic optimizers, fatal to
+        Metropolis-Hastings acceptance (measured: leapfrog |dH| 0.2-0.6 under
+        bf16-DFT vs 0.02-0.08 under FFT at identical step sizes, which
+        collapses dual averaging). ``dft_hi`` (Precision.HIGHEST matmuls) is
+        f32-exact in absolute terms but measured ~2x rougher than FFT along
+        leapfrog trajectories (|dlogL| vs FFT 0.04-0.12 nats), which shrank
+        the adapted step size 0.143 -> 0.110 and cost 4x ESS on the benchmark
+        for only a 6% per-gradient saving — so the exact path stays FFT.
+        Explicit sim_config choices are always respected."""
         cfg = self.sim_config
         if exact:
             import dataclasses

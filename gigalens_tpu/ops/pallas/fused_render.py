@@ -13,19 +13,23 @@ element instead of a dozen round-trips. Samples ride the 8-sublane axis
 ((8, 1) parameter columns broadcast against (1, PIX_BLK) coordinates), pixels
 the 128-lane axis — Mosaic's native (8, 128) tiling.
 
-Gradient support: a custom VJP whose backward pass is a second Pallas kernel
-running ``jax.vjp`` of the same tile function *inside* the kernel (residuals
-live in VMEM), emitting per-(sample-block, tile) parameter cotangents summed
-outside. The EPL angular series reuses
-:func:`gigalens_tpu.profiles.mass.epl._omega` with its O(1)-memory VJP.
+Gradient support: a custom VJP whose backward pass is a second Pallas kernel.
+The forward kernel writes the EPL angular series Omega as two extra outputs
+(the custom-vjp residuals), so the backward kernel runs no forward series
+loop at all: it vjp's the closed-form output map (light/shear/prefactor),
+runs :func:`gigalens_tpu.profiles.mass.epl._omega_bwd`'s single O(1)-memory
+backward loop, and vjp's the closed-form geometry map. Series loops are fully
+unrolled inside kernels (Mosaic keeps the carries in vector registers).
 
 STATUS: verified on v5e hardware. Forward matches XLA to 2e-5; backward
 matches interpret mode exactly and matches the XLA path to per-column 2e-3 /
 cosine similarity > 0.999998 per sample (the residual is the approximate
 atan2's derivative amplified by the 1/R^(t-1) prefactor at near-center
 pixels — direction-exact for optimization, and MAP converges to identical
-chi2). In-process A/B on the benchmark MAP loop: 241 vs 506 ms/step — 2.1x
-faster than the XLA path; the simulator enables it automatically on TPU.
+chi2). Measured at the benchmark scale (bs=1000, 25.6k supersampled px,
+niter=50) on v5e: forward 10.2 ms, forward+grad 23.4 ms — 6x the original
+512-lane/rolled-loop kernel and ~20x the unfused XLA path; the simulator
+enables it automatically on TPU.
 
 Kernel-portable math: ``atan2``/``pow`` do not lower in Mosaic and are
 replaced by :mod:`gigalens_tpu.ops.pallas._math`.
@@ -47,11 +51,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gigalens_tpu.ops.pallas._math import atan2 as _atan2, powp as _powp
-from gigalens_tpu.profiles.mass.epl import _omega, _omega_bwd
+from gigalens_tpu.profiles.mass.epl import _omega_bwd, _omega_impl
 
 import os
 
-PIX_BLK = int(os.environ.get("GIGALENS_FUSED_PIX_BLK", "512"))
+# 2560 lanes/tile: measured 2.8x over 512 on v5e (fewer grid cells, same
+# VMEM residency); combined with the fully unrolled series loop below the
+# forward kernel runs 6x faster than the original 512/rolled configuration
+PIX_BLK = int(os.environ.get("GIGALENS_FUSED_PIX_BLK", "2560"))
 S_BLK = 8       # samples per block (sublane axis)
 N_PARAMS = 22
 P_PAD = 128     # params row padded to one full lane vector
@@ -140,17 +147,23 @@ def _tile_out(p, x, y, ox, oy):
     return lens_light + src_light
 
 
+def _kernel_unroll(niter):
+    # Mosaic's fori_loop supports only unroll=1 or full; full keeps the
+    # series carries in vector registers (2.2x on v5e)
+    return max(niter - 1, 1)
+
+
 def _tile_fn(p, x, y, niter):
     """p: (S_BLK, P_PAD) params; x, y: (1, PIX_BLK) -> (S_BLK, PIX_BLK)."""
     ang, f, t = _tile_geom(p, x, y)
-    ox, oy = _omega(ang, f, t, niter)
+    ox, oy = _omega_impl(ang, f, t, niter, unroll=_kernel_unroll(niter))
     return _tile_out(p, x, y, ox, oy)
 
 
 def _fwd_kernel(params_ref, x_ref, y_ref, out_ref, ox_ref, oy_ref, *, niter):
     p, x, y = params_ref[:], x_ref[:], y_ref[:]
     ang, f, t = _tile_geom(p, x, y)
-    ox, oy = _omega(ang, f, t, niter)
+    ox, oy = _omega_impl(ang, f, t, niter, unroll=_kernel_unroll(niter))
     ox_ref[:] = ox
     oy_ref[:] = oy
     out_ref[:] = _tile_out(p, x, y, ox, oy)
@@ -172,7 +185,9 @@ def _bwd_kernel(params_ref, x_ref, y_ref, ox_ref, oy_ref, ct_ref, gp_ref, *, nit
     gp1, ct_ox, ct_oy = vjp_out(ct)
 
     ang, f, t = _tile_geom(p, x, y)
-    g_ang, g_f, g_t = _omega_bwd(niter, (ang, f, t), (ct_ox, ct_oy))
+    g_ang, g_f, g_t = _omega_bwd(
+        niter, (ang, f, t), (ct_ox, ct_oy), unroll=_kernel_unroll(niter)
+    )
 
     _, vjp_geom = jax.vjp(lambda pp: _tile_geom(pp, x, y), p)
     (gp2,) = vjp_geom((g_ang, g_f, g_t))

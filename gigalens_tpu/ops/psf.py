@@ -134,6 +134,16 @@ class PSFConv:
         self.kernel = np.asarray(kernel, np.float32)
         self.kh, self.kw = self.kernel.shape
         self.h, self.w = int(img_shape[0]), int(img_shape[1])
+        # "dft_hi" = the dft matmul path with Precision.HIGHEST einsums: XLA's
+        # single-pass TPU matmul truncates f32 inputs to bf16 (~0.3 nats of
+        # likelihood noise — fine for Adam/ELBO, fatal for MH acceptance); the
+        # 3-pass variant is f32-exact and still far faster than the VPU FFT.
+        self.precision = None
+        if mode == "dft_hi":
+            import jax
+
+            mode = "dft"
+            self.precision = jax.lax.Precision.HIGHEST
         self.mode = mode
         # pool > 1 (dft mode only) folds the trailing average-pool into the
         # inverse transform: the conv then emits (H/pool, W/pool) directly.
@@ -228,30 +238,23 @@ class PSFConv:
         fshape; the inverse factors fold the 'SAME' crop (and optional
         average-pool), emitting (n, out_h, out_w) directly.
         """
+        import functools
+
+        ein = functools.partial(jnp.einsum, precision=self.precision)
         # rows: Y = F_h[:, :H] @ X -> (n, fh, W)
-        yr = jnp.einsum("ij,njk->nik", self._fh_re, x)
-        yi = jnp.einsum("ij,njk->nik", self._fh_im, x)
+        yr = ein("ij,njk->nik", self._fh_re, x)
+        yi = ein("ij,njk->nik", self._fh_im, x)
         # cols: Z = Y @ F_w[:, :W]^T -> (n, fh, fw)
-        zr = jnp.einsum("nik,jk->nij", yr, self._fw_re) - jnp.einsum(
-            "nik,jk->nij", yi, self._fw_im
-        )
-        zi = jnp.einsum("nik,jk->nij", yr, self._fw_im) + jnp.einsum(
-            "nik,jk->nij", yi, self._fw_re
-        )
+        zr = ein("nik,jk->nij", yr, self._fw_re) - ein("nik,jk->nij", yi, self._fw_im)
+        zi = ein("nik,jk->nij", yr, self._fw_im) + ein("nik,jk->nij", yi, self._fw_re)
         # spectrum product
         pr = zr * self._k_re - zi * self._k_im
         pi = zr * self._k_im + zi * self._k_re
         # inverse rows (crop/pool folded) -> (n, out_h, fw)
-        ur = jnp.einsum("ij,njk->nik", self._ih_re, pr) - jnp.einsum(
-            "ij,njk->nik", self._ih_im, pi
-        )
-        ui = jnp.einsum("ij,njk->nik", self._ih_re, pi) + jnp.einsum(
-            "ij,njk->nik", self._ih_im, pr
-        )
+        ur = ein("ij,njk->nik", self._ih_re, pr) - ein("ij,njk->nik", self._ih_im, pi)
+        ui = ein("ij,njk->nik", self._ih_re, pi) + ein("ij,njk->nik", self._ih_im, pr)
         # inverse cols (crop/pool folded), real part only -> (n, out_h, out_w)
-        return jnp.einsum("nik,jk->nij", ur, self._iw_re) - jnp.einsum(
-            "nik,jk->nij", ui, self._iw_im
-        )
+        return ein("nik,jk->nij", ur, self._iw_re) - ein("nik,jk->nij", ui, self._iw_im)
 
     def __call__(self, img):
         """img: (..., H, W) -> convolved (..., H, W)."""

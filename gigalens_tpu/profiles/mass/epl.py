@@ -44,13 +44,12 @@ import os
 _UNROLL = int(os.environ.get("GIGALENS_EPL_UNROLL", "1"))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _omega(theta, f, t, niter):
-    """Angular series Omega(theta; f, t) = sum_n a_n; returns (Re, Im).
+def _omega_impl(theta, f, t, niter, unroll=None):
+    """Raw angular series (no custom VJP) — see :func:`_omega`.
 
-    theta: polar angle in the ellipse frame (any broadcast shape)
-    f: ellipticity ratio (1-q)/(1+q); t: 2D log-slope (gamma - 1)
-    niter: static series depth.
+    ``unroll`` overrides the module default; inside Pallas kernels Mosaic
+    supports only ``1`` or full (``niter - 1``), and full keeps the four
+    loop carries in vector registers (measured 2.2x on v5e).
     """
     cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
     cos_2t, sin_2t = jnp.cos(2 * theta), jnp.sin(2 * theta)
@@ -65,16 +64,28 @@ def _omega(theta, f, t, niter):
         return (ax, ay, ox + ax, oy + ay)
 
     _, _, ox, oy = lax.fori_loop(
-        1, niter, step, (cos_t, sin_t, cos_t, sin_t), unroll=_UNROLL
+        1, niter, step, (cos_t, sin_t, cos_t, sin_t),
+        unroll=_UNROLL if unroll is None else unroll,
     )
     return ox, oy
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _omega(theta, f, t, niter):
+    """Angular series Omega(theta; f, t) = sum_n a_n; returns (Re, Im).
+
+    theta: polar angle in the ellipse frame (any broadcast shape)
+    f: ellipticity ratio (1-q)/(1+q); t: 2D log-slope (gamma - 1)
+    niter: static series depth.
+    """
+    return _omega_impl(theta, f, t, niter)
 
 
 def _omega_fwd(theta, f, t, niter):
     return _omega(theta, f, t, niter), (theta, f, t)
 
 
-def _omega_bwd(niter, res, ct):
+def _omega_bwd(niter, res, ct, unroll=None):
     theta, f, t = res
     ct_x, ct_y = ct
     cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
@@ -105,7 +116,8 @@ def _omega_bwd(niter, res, ct):
     # n = 0 term: a_0 = e^{i theta}; contributes only to g_theta
     g_th0 = -ct_x * sin_t + ct_y * cos_t
     _, _, _, g_th, g_f, g_t = lax.fori_loop(
-        1, niter, step, (cos_t, sin_t, s_t0, g_th0, zero, zero), unroll=_UNROLL
+        1, niter, step, (cos_t, sin_t, s_t0, g_th0, zero, zero),
+        unroll=_UNROLL if unroll is None else unroll,
     )
 
     def _reduce_to(g, x):

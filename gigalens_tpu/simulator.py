@@ -108,11 +108,11 @@ class LensSimulator:
                     # XLA's TPU FFT is VPU-bound and slow; the dense-DFT
                     # matmul path runs on the MXU (see ops/psf.py)
                     mode = "dft" if jax.default_backend() == "tpu" else "fft"
-            # dft mode folds the supersample average-pool into the inverse
+            # dft modes fold the supersample average-pool into the inverse
             # transform (the conv emits native resolution directly)
             self._conv = PSFConv(
                 kern, (self.h_ss, self.w_ss), mode=mode,
-                pool=self.supersample if mode == "dft" else 1,
+                pool=self.supersample if mode in ("dft", "dft_hi") else 1,
             )
 
         # ---- fused Pallas render (EPL+Shear + 2x SersicEllipse on TPU) -----

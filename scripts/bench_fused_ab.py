@@ -54,8 +54,10 @@ def main():
     y = jnp.asarray(Y.reshape(-1))
     assert x.shape[0] == npix
 
-    tag = (f"unroll={os.environ.get('GIGALENS_EPL_UNROLL', '1')} "
-           f"pix_blk={os.environ.get('GIGALENS_FUSED_PIX_BLK', '512')}")
+    from gigalens_tpu.ops.pallas import fused_render as fr_mod
+    from gigalens_tpu.profiles.mass import epl as epl_mod
+
+    tag = (f"unroll={epl_mod._UNROLL}(kernel:full) pix_blk={fr_mod.PIX_BLK}")
 
     fwd = jax.jit(lambda p: fused_render(p, x, y, niter))
     t, out = timed(fwd, params, repeats=10)

@@ -51,6 +51,14 @@ def test_dft_pool_folding_matches_fft_then_pool(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_dft_hi_matches_fft(rng):
+    k = _gauss_psf(15)
+    img = rng.normal(size=(3, 40, 40)).astype(np.float32)
+    want = average_pool(PSFConv(k, (40, 40), mode="fft")(jnp.asarray(img)), 2)
+    got = PSFConv(k, (40, 40), mode="dft_hi", pool=2)(jnp.asarray(img))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_average_pool():
     x = jnp.arange(16.0).reshape(1, 4, 4)
     got = average_pool(x, 2)
