@@ -39,6 +39,12 @@ class ModellingSequence:
         leapfrog trajectories (|dlogL| vs FFT 0.04-0.12 nats), which shrank
         the adapted step size 0.143 -> 0.110 and cost 4x ESS on the benchmark
         for only a 6% per-gradient saving — so the exact path stays FFT.
+        The fused Pallas render with FFT conv was also measured
+        (scripts/bench_hmc_fused.py): 1.5x faster per gradient (4.46 vs
+        6.58 ms at bs=50) and 12% faster in wall-clock, but its ~1-nat
+        deviation from the XLA render is rough at leapfrog scale — eps
+        0.160 -> 0.133, min ESS 9774 -> 6892, ESS/sec 151 -> 121 — so the
+        exact phase disables the fused render too.
         Explicit sim_config choices are always respected."""
         cfg = self.sim_config
         if exact:

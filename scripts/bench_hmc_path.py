@@ -37,11 +37,12 @@ def main():
 
     variants = {
         "fft (old exact)": dict(psf_mode="fft", use_fused_render=False),
+        "fft+fused": dict(psf_mode="fft", use_fused_render=True),
         "dft_hi": dict(psf_mode="dft_hi", use_fused_render=False),
         "dft_hi+fused": dict(psf_mode="dft_hi", use_fused_render=True),
         "dft (bf16)": dict(psf_mode="dft", use_fused_render=False),
     }
-    lps = {}
+    lps, fns = {}, {}
     for name, kw in variants.items():
         sim = LensSimulator(phys, dataclasses.replace(cfg, **kw), bs=bs)
 
@@ -51,6 +52,7 @@ def main():
             return lp, g
 
         f = jax.jit(lp_and_grad)
+        fns[name] = f
         t, (lp, g) = timed(f, z, repeats=10)
         lps[name] = np.asarray(lp)
         print(f"{name:18s}: {t*1e3:7.2f} ms/grad", flush=True)
@@ -60,6 +62,28 @@ def main():
         d = np.abs(lp - ref)
         print(f"{name:18s}: |dlogL| mean {d.mean():.4f}  max {d.max():.4f} nats",
               flush=True)
+
+    # Roughness along a leapfrog-like path: take tiny steps along each
+    # variant's own gradient direction and measure how much the *increment*
+    # of its own logL wobbles vs the smooth FFT increments. MH acceptance
+    # sees dH over a trajectory; ULP-scale roughness here is what collapses
+    # dual averaging (not the absolute offset above).
+    print("\ntrajectory roughness (per-step dlogL vs own smooth fit, eps=3e-3):")
+    for name, f in fns.items():
+        lp0, g0 = f(z)
+        gdir = g0 / jnp.linalg.norm(g0, axis=-1, keepdims=True)
+        steps = []
+        lp_prev = np.asarray(lp0)
+        for i in range(1, 9):
+            lp_i, _ = f(z + 3e-3 * i * gdir)
+            lp_i = np.asarray(lp_i)
+            steps.append(lp_i - lp_prev)
+            lp_prev = lp_i
+        steps = np.stack(steps)  # (8, bs) increments
+        # second difference = deviation from locally-linear logL
+        rough = np.abs(np.diff(steps, axis=0))
+        print(f"{name:18s}: |d2logL| mean {rough.mean():.4f}  "
+              f"p95 {np.quantile(rough, 0.95):.4f} nats", flush=True)
 
 
 if __name__ == "__main__":
