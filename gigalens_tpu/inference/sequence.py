@@ -95,8 +95,12 @@ class ModellingSequence:
 
         from gigalens_tpu.inference.map import laplace_scale_tril
 
-        # second-order AD cannot cross the fused kernel's custom VJP
-        cfg = dataclasses.replace(self.sim_config, use_fused_render=False)
+        # second-order AD cannot cross the fused render's or the Pallas DFT
+        # conv's custom VJP; pin the fft conv (linear jnp.fft primitives,
+        # differentiable to any order) — bs=1, cost is irrelevant here
+        cfg = dataclasses.replace(
+            self.sim_config, use_fused_render=False, psf_mode="fft"
+        )
         sim = LensSimulator(self.phys_model, cfg, bs=1)
         return laplace_scale_tril(self.prob_model, sim, z_best)
 

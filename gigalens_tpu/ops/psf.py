@@ -15,6 +15,8 @@ Replaces two reference dependencies:
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 from jax import lax
@@ -130,7 +132,7 @@ class PSFConv:
     """
 
     def __init__(self, kernel: np.ndarray, img_shape, mode: str = "fft",
-                 pool: int = 1):
+                 pool: int = 1, pallas=None):
         self.kernel = np.asarray(kernel, np.float32)
         self.kh, self.kw = self.kernel.shape
         self.h, self.w = int(img_shape[0]), int(img_shape[1])
@@ -198,6 +200,28 @@ class PSFConv:
             self._iw_re = fold(Fw.real / fw, ox, self.w).astype(np.float32)
             self._iw_im = fold(-Fw.imag / fw, ox, self.w).astype(np.float32)
             self.out_h, self.out_w = self.h // p, self.w // p
+
+            # Pallas VMEM-resident kernel for the same factor chain: one HBM
+            # read + one write per sample instead of five einsum round-trips
+            # (2.6x fwd+grad on v5e, see ops/pallas/dft_conv.py). First-order
+            # AD only (custom VJP): code needing higher-order AD through the
+            # conv should set pallas=False or use the fft mode.
+            self._pallas = None
+            if pallas is None:
+                import jax
+
+                pallas = (
+                    jax.default_backend() == "tpu"
+                    and os.environ.get("GIGALENS_PALLAS_CONV", "1") == "1"
+                )
+            if pallas:
+                from gigalens_tpu.ops.pallas.dft_conv import PallasDFTConv
+
+                self._pallas = PallasDFTConv(
+                    self._fh_re, self._fh_im, self._fw_re, self._fw_im,
+                    self._k_re, self._k_im, self._ih_re, self._ih_im,
+                    self._iw_re, self._iw_im, precision=self.precision,
+                )
             return
 
         if mode == "fft":
@@ -261,7 +285,8 @@ class PSFConv:
         if self.mode == "dft":
             batch_shape = img.shape[:-2]
             x = img.reshape((-1, self.h, self.w))
-            return self._dft_conv(x).reshape((*batch_shape, self.out_h, self.out_w))
+            conv = self._pallas if self._pallas is not None else self._dft_conv
+            return conv(x).reshape((*batch_shape, self.out_h, self.out_w))
         if self.mode == "fft":
             batch_shape = img.shape[:-2]
             x = img.reshape((-1, self.h, self.w))
