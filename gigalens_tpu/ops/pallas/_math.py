@@ -52,3 +52,31 @@ def atan2(y, x):
 def powp(base, expo):
     """base ** expo for strictly positive base (kernel-safe)."""
     return jnp.exp(expo * jnp.log(base))
+
+
+def half_angle(e1, e2):
+    """(cos phi, sin phi) for phi = atan2(e2, e1) / 2 — pure algebra.
+
+    Replaces the approximate ``atan2`` + cos/sin round-trip wherever only
+    the rotation (cos phi, sin phi) is needed: exact to f32 rounding and
+    free of the polynomial approximation's branch-point derivative
+    discontinuities. Uses cos phi = sqrt((1 + cos 2phi)/2) (non-negative on
+    atan2's range) and sin phi = sin 2phi / (2 cos phi); smooth everywhere
+    except the genuine branch cut at e2 = 0, e1 < 0.
+    """
+    m = jnp.sqrt(e1 * e1 + e2 * e2)
+    m_safe = jnp.maximum(m, 1e-12)
+    c2 = e1 / m_safe
+    s2 = e2 / m_safe
+    # Branch on the sign of e1 so the division is always by the
+    # well-conditioned component (>= sqrt(2)/2): dividing by the vanishing
+    # one has d/de ~ 1/|e2| near the e1 < 0 branch cut (measured blowing up
+    # SVI gradients), while atan2's derivative stays ~ 1/m there.
+    pos = e1 >= 0
+    cp_pos = jnp.sqrt(jnp.maximum((1.0 + c2) * 0.5, 1e-12))
+    sp_neg = jnp.where(e2 >= 0, 1.0, -1.0) * jnp.sqrt(
+        jnp.maximum((1.0 - c2) * 0.5, 1e-12)
+    )
+    cp = jnp.where(pos, cp_pos, 0.5 * s2 / sp_neg)
+    sp = jnp.where(pos, 0.5 * s2 / cp_pos, sp_neg)
+    return cp, sp

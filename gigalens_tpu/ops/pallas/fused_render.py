@@ -17,22 +17,23 @@ Gradient support: a custom VJP whose backward pass is a second Pallas kernel.
 The forward kernel writes the EPL angular series Omega as two extra outputs
 (the custom-vjp residuals), so the backward kernel runs no forward series
 loop at all: it vjp's the closed-form output map (light/shear/prefactor),
-runs :func:`gigalens_tpu.profiles.mass.epl._omega_bwd`'s single O(1)-memory
-backward loop, and vjp's the closed-form geometry map. Series loops are fully
-unrolled inside kernels (Mosaic keeps the carries in vector registers).
+runs :func:`gigalens_tpu.profiles.mass.epl._omega_cs_bwd`'s single
+O(1)-memory backward loop, and vjp's the closed-form geometry map. Series
+loops are fully unrolled inside kernels (Mosaic keeps the carries in vector
+registers).
 
-STATUS: verified on v5e hardware. Forward matches XLA to 2e-5; backward
-matches interpret mode exactly and matches the XLA path to per-column 2e-3 /
-cosine similarity > 0.999998 per sample (the residual is the approximate
-atan2's derivative amplified by the 1/R^(t-1) prefactor at near-center
-pixels — direction-exact for optimization, and MAP converges to identical
-chi2). Measured at the benchmark scale (bs=1000, 25.6k supersampled px,
-niter=50) on v5e: forward 10.2 ms, forward+grad 23.4 ms — 6x the original
-512-lane/rolled-loop kernel and ~20x the unfused XLA path; the simulator
-enables it automatically on TPU.
+The whole kernel is inverse-trig-free: the angular series takes
+(cos theta, sin theta) = (q xr, yr)/R directly and the ellipse rotations
+use the algebraic half-angle identity (:func:`.._math.half_angle`) — the
+earlier polynomial ``atan2``'s branch-point derivative discontinuities,
+amplified by the 1/R^(t-1) prefactor near the lens center, were measurable
+as HMC leapfrog energy roughness (eps 0.160 -> 0.133, -30% ESS).
+``pow`` is exp/log (:func:`.._math.powp`), the same construction XLA uses.
 
-Kernel-portable math: ``atan2``/``pow`` do not lower in Mosaic and are
-replaced by :mod:`gigalens_tpu.ops.pallas._math`.
+STATUS: verified on v5e hardware. Measured at the benchmark scale
+(bs=1000, 25.6k supersampled px, niter=50) on v5e: forward 10.2 ms,
+forward+grad 23.4 ms — 6x the original 512-lane/rolled-loop kernel and
+~20x the unfused XLA path; the simulator enables it automatically on TPU.
 
 Parameter packing (columns of the (bs, 22) matrix, padded to 128 lanes):
     0-5   lens EPL: theta_E, gamma, e1, e2, center_x, center_y
@@ -50,8 +51,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gigalens_tpu.ops.pallas._math import atan2 as _atan2, powp as _powp
-from gigalens_tpu.profiles.mass.epl import _omega_bwd, _omega_impl
+from gigalens_tpu.ops.pallas._math import half_angle as _half_angle, powp as _powp
+from gigalens_tpu.profiles.mass.epl import _omega_cs_bwd, _omega_cs_impl
 
 import os
 
@@ -69,11 +70,10 @@ def _col(p, k):
 
 
 def _sersic_light(x, y, R_s, n_s, e1, e2, cx, cy, Ie):
-    phi = _atan2(e2, e1) / 2.0
+    cp, sp = _half_angle(e1, e2)
     c = jnp.sqrt(e1**2 + e2**2)
     q = (1.0 - c) / (1.0 + c)
     dx, dy = x - cx, y - cy
-    cp, sp = jnp.cos(phi), jnp.sin(phi)
     xt1 = (cp * dx + sp * dy) * jnp.sqrt(q)
     xt2 = (-sp * dx + cp * dy) / jnp.sqrt(q)
     R = jnp.sqrt(xt1**2 + xt2**2)
@@ -84,23 +84,27 @@ def _sersic_light(x, y, R_s, n_s, e1, e2, cx, cy, Ie):
 def _tile_geom(p, x, y):
     """EPL ellipse-frame geometry: the inputs of the angular series.
 
-    Closed-form (loop-free). Returns (ang, f, t) with ang: (S_BLK, PIX_BLK),
-    f, t: (S_BLK, 1) — exactly the argument shapes ``_omega`` expects.
+    Closed-form (loop-free) and inverse-trig-free: the series needs only
+    (cos theta, sin theta) = (q xr, yr) / R and the rotation needs only
+    (cos phi, sin phi), both algebraic. Returns (cos_t, sin_t, f, t) with
+    cos_t/sin_t: (S_BLK, PIX_BLK), f, t: (S_BLK, 1) — the argument shapes
+    ``_omega_cs`` expects.
     """
     gam = _col(p, 1)
     e1, e2 = _col(p, 2), _col(p, 3)
     cx, cy = _col(p, 4), _col(p, 5)
-    phi = _atan2(e2, e1) / 2.0
+    cp, sp = _half_angle(e1, e2)
     c = jnp.minimum(jnp.sqrt(e1**2 + e2**2), 1.0)
     q = (1.0 - c) / (1.0 + c)
     dx, dy = x - cx, y - cy
-    cp, sp = jnp.cos(phi), jnp.sin(phi)
     xr = dx * cp + dy * sp
     yr = -dx * sp + dy * cp
-    ang = _atan2(yr, q * xr)
+    R = jnp.clip(jnp.sqrt((q * xr) ** 2 + yr**2), 1e-10, 1e10)
+    cos_t = q * xr / R
+    sin_t = yr / R
     f = (1.0 - q) / (1.0 + q)
     t = gam - 1.0
-    return ang, f, t
+    return cos_t, sin_t, f, t
 
 
 def _tile_out(p, x, y, ox, oy):
@@ -114,13 +118,12 @@ def _tile_out(p, x, y, ox, oy):
     cx, cy = _col(p, 4), _col(p, 5)
     g1, g2 = _col(p, 6), _col(p, 7)
 
-    phi = _atan2(e2, e1) / 2.0
+    cp, sp = _half_angle(e1, e2)
     c = jnp.minimum(jnp.sqrt(e1**2 + e2**2), 1.0)
     q = (1.0 - c) / (1.0 + c)
     b = te * jnp.sqrt(q)
     t = gam - 1.0
     dx, dy = x - cx, y - cy
-    cp, sp = jnp.cos(phi), jnp.sin(phi)
     xr = dx * cp + dy * sp
     yr = -dx * sp + dy * cp
     R = jnp.clip(jnp.sqrt((q * xr) ** 2 + yr**2), 1e-10, 1e10)
@@ -155,15 +158,15 @@ def _kernel_unroll(niter):
 
 def _tile_fn(p, x, y, niter):
     """p: (S_BLK, P_PAD) params; x, y: (1, PIX_BLK) -> (S_BLK, PIX_BLK)."""
-    ang, f, t = _tile_geom(p, x, y)
-    ox, oy = _omega_impl(ang, f, t, niter, unroll=_kernel_unroll(niter))
+    ct, st, f, t = _tile_geom(p, x, y)
+    ox, oy = _omega_cs_impl(ct, st, f, t, niter, unroll=_kernel_unroll(niter))
     return _tile_out(p, x, y, ox, oy)
 
 
 def _fwd_kernel(params_ref, x_ref, y_ref, out_ref, ox_ref, oy_ref, *, niter):
     p, x, y = params_ref[:], x_ref[:], y_ref[:]
-    ang, f, t = _tile_geom(p, x, y)
-    ox, oy = _omega_impl(ang, f, t, niter, unroll=_kernel_unroll(niter))
+    ct, st, f, t = _tile_geom(p, x, y)
+    ox, oy = _omega_cs_impl(ct, st, f, t, niter, unroll=_kernel_unroll(niter))
     ox_ref[:] = ox
     oy_ref[:] = oy
     out_ref[:] = _tile_out(p, x, y, ox, oy)
@@ -172,9 +175,10 @@ def _fwd_kernel(params_ref, x_ref, y_ref, out_ref, ox_ref, oy_ref, *, niter):
 def _bwd_kernel(params_ref, x_ref, y_ref, ox_ref, oy_ref, ct_ref, gp_ref, *, niter):
     """One angular-series loop per tile (the forward loop's result Omega is a
     saved residual): vjp through the closed-form output map gives the light /
-    shear / prefactor cotangents plus ct_Omega; ``_omega_bwd`` turns ct_Omega
-    into (ang, f, t) cotangents with its single O(1)-memory backward loop;
-    vjp through the closed-form geometry map carries those back to the params."""
+    shear / prefactor cotangents plus ct_Omega; ``_omega_cs_bwd`` turns
+    ct_Omega into (cos_t, sin_t, f, t) cotangents with its single
+    O(1)-memory backward loop; vjp through the closed-form geometry map
+    carries those back to the params."""
     p, x, y = params_ref[:], x_ref[:], y_ref[:]
     ox, oy = ox_ref[:], oy_ref[:]
     ct = ct_ref[:]
@@ -184,13 +188,14 @@ def _bwd_kernel(params_ref, x_ref, y_ref, ox_ref, oy_ref, ct_ref, gp_ref, *, nit
     )
     gp1, ct_ox, ct_oy = vjp_out(ct)
 
-    ang, f, t = _tile_geom(p, x, y)
-    g_ang, g_f, g_t = _omega_bwd(
-        niter, (ang, f, t), (ct_ox, ct_oy), unroll=_kernel_unroll(niter)
+    cos_t, sin_t, f, t = _tile_geom(p, x, y)
+    g_c, g_s, g_f, g_t = _omega_cs_bwd(
+        niter, (cos_t, sin_t, f, t), (ct_ox, ct_oy),
+        unroll=_kernel_unroll(niter)
     )
 
     _, vjp_geom = jax.vjp(lambda pp: _tile_geom(pp, x, y), p)
-    (gp2,) = vjp_geom((g_ang, g_f, g_t))
+    (gp2,) = vjp_geom((g_c, g_s, g_f, g_t))
     # per-(sample-block, tile) output; the tile sum happens outside the kernel
     # (revisited-block accumulation miscompiled on real hardware)
     gp_ref[:] = gp1 + gp2

@@ -44,15 +44,22 @@ import os
 _UNROLL = int(os.environ.get("GIGALENS_EPL_UNROLL", "1"))
 
 
-def _omega_impl(theta, f, t, niter, unroll=None):
-    """Raw angular series (no custom VJP) — see :func:`_omega`.
+def _omega_cs_impl(cos_t, sin_t, f, t, niter, unroll=None):
+    """Raw angular series from (cos theta, sin theta) — see :func:`_omega_cs`.
+
+    Taking cos/sin directly (they are algebraic in the ellipse-frame
+    coordinates: cos = q x / R, sin = y / R) keeps the whole series free of
+    inverse-trig evaluations — important inside Pallas kernels, where an
+    approximate ``atan2``'s branch-point derivative discontinuities,
+    amplified by the 1/R^(t-1) prefactor near the lens center, measurably
+    roughen HMC leapfrog energies.
 
     ``unroll`` overrides the module default; inside Pallas kernels Mosaic
     supports only ``1`` or full (``niter - 1``), and full keeps the four
     loop carries in vector registers (measured 2.2x on v5e).
     """
-    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
-    cos_2t, sin_2t = jnp.cos(2 * theta), jnp.sin(2 * theta)
+    cos_2t = cos_t * cos_t - sin_t * sin_t
+    sin_2t = 2.0 * cos_t * sin_t
 
     # carry-only fori_loop: lowers inside Pallas kernels (Mosaic rejects
     # scans with scanned-over inputs) and compiles identically under XLA
@@ -70,13 +77,104 @@ def _omega_impl(theta, f, t, niter, unroll=None):
     return ox, oy
 
 
+def _omega_impl(theta, f, t, niter, unroll=None):
+    """Angular series from the angle itself (compatibility wrapper)."""
+    return _omega_cs_impl(jnp.cos(theta), jnp.sin(theta), f, t, niter, unroll)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _omega_cs(cos_t, sin_t, f, t, niter):
+    """Angular series Omega = sum_n a_n from (cos theta, sin theta).
+
+    cos_t/sin_t: ellipse-frame polar direction (q x / R, y / R); f:
+    ellipticity ratio (1-q)/(1+q); t: 2D log-slope (gamma - 1); niter:
+    static series depth. Returns (Re Omega, Im Omega).
+    """
+    return _omega_cs_impl(cos_t, sin_t, f, t, niter)
+
+
+def _omega_cs_fwd(cos_t, sin_t, f, t, niter):
+    return _omega_cs(cos_t, sin_t, f, t, niter), (cos_t, sin_t, f, t)
+
+
+def _reduce_to(g, x):
+    extra = g.ndim - jnp.ndim(x)
+    if extra:
+        g = jnp.sum(g, axis=tuple(range(extra)))
+    for i, (gs, xs) in enumerate(zip(g.shape, jnp.shape(x))):
+        if xs == 1 and gs != 1:
+            g = jnp.sum(g, axis=i, keepdims=True)
+    return g
+
+
+def _omega_cs_bwd(niter, res, ct, unroll=None):
+    """O(1)-memory exact VJP: one fresh loop regenerating a_n on the fly.
+
+    a_n is homogeneous of degree 2n+1 in (cos_t, sin_t) — a_n(rho e^{i
+    theta}) = rho^{2n+1} a_n(e^{i theta}) for the implementation's own
+    off-circle extension (a_0 linear, the rotation matrix quadratic) — so
+    the input cotangents decompose exactly into radial and tangential
+    parts:
+
+        d a_n / d theta = i (2n+1) a_n        d a_n / d rho = (2n+1) a_n
+        g_c = cos_t * g_rho - sin_t * g_th    g_s = sin_t * g_rho + cos_t * g_th
+
+    plus the parameter partials (each ratio_k proportional to f; the
+    digamma-like partial sum for t):
+
+        d a_n / d f = (n / f) a_n
+        d a_n / d t = [sum_k 1/(2k-2+t) + 1/(2k+2-t)] a_n
+    """
+    cos_t, sin_t, f, t = res
+    ct_x, ct_y = ct
+    cos_2t = cos_t * cos_t - sin_t * sin_t
+    sin_2t = 2.0 * cos_t * sin_t
+
+    shape = jnp.broadcast_shapes(
+        jnp.shape(cos_t), jnp.shape(f), jnp.shape(t), jnp.shape(ct_x)
+    )
+    zero = jnp.zeros(shape)
+
+    # s_t (the digamma partial sum) depends only on t — carry it at t's
+    # (bs, 1) shape so the two per-iteration divisions don't run per-pixel
+    s_t0 = jnp.zeros(jnp.broadcast_shapes(jnp.shape(t), jnp.shape(f)))
+
+    def step(i, carry):
+        ax, ay, s_t, g_th, g_rho, g_f, g_t = carry
+        n = i.astype(cos_t.dtype)
+        ratio = -f * (2 * n - (2 - t)) / (2 * n + (2 - t))
+        ax, ay = ratio * (cos_2t * ax - sin_2t * ay), ratio * (sin_2t * ax + cos_2t * ay)
+        s_t = s_t + 1.0 / (2 * n - 2 + t) + 1.0 / (2 * n + 2 - t)
+        dot = ct_x * ax + ct_y * ay
+        g_th = g_th + (2 * n + 1) * (-ct_x * ay + ct_y * ax)
+        g_rho = g_rho + (2 * n + 1) * dot
+        g_f = g_f + (n / f) * dot
+        g_t = g_t + s_t * dot
+        return (ax, ay, s_t, g_th, g_rho, g_f, g_t)
+
+    # n = 0 term: a_0 = (cos_t, sin_t)
+    g_th0 = -ct_x * sin_t + ct_y * cos_t
+    g_rho0 = ct_x * cos_t + ct_y * sin_t
+    _, _, _, g_th, g_rho, g_f, g_t = lax.fori_loop(
+        1, niter, step, (cos_t, sin_t, s_t0, g_th0, g_rho0, zero, zero),
+        unroll=_UNROLL if unroll is None else unroll,
+    )
+    g_c = cos_t * g_rho - sin_t * g_th
+    g_s = sin_t * g_rho + cos_t * g_th
+    return (
+        _reduce_to(g_c, cos_t), _reduce_to(g_s, sin_t),
+        _reduce_to(g_f, f), _reduce_to(g_t, t),
+    )
+
+
+_omega_cs.defvjp(_omega_cs_fwd, _omega_cs_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _omega(theta, f, t, niter):
     """Angular series Omega(theta; f, t) = sum_n a_n; returns (Re, Im).
 
-    theta: polar angle in the ellipse frame (any broadcast shape)
-    f: ellipticity ratio (1-q)/(1+q); t: 2D log-slope (gamma - 1)
-    niter: static series depth.
+    Angle-parameterized compatibility wrapper over :func:`_omega_cs`.
     """
     return _omega_impl(theta, f, t, niter)
 
@@ -87,49 +185,13 @@ def _omega_fwd(theta, f, t, niter):
 
 def _omega_bwd(niter, res, ct, unroll=None):
     theta, f, t = res
-    ct_x, ct_y = ct
     cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
-    cos_2t, sin_2t = jnp.cos(2 * theta), jnp.sin(2 * theta)
-
-    shape = jnp.broadcast_shapes(
-        jnp.shape(theta), jnp.shape(f), jnp.shape(t), jnp.shape(ct_x)
+    g_c, g_s, g_f, g_t = _omega_cs_bwd(
+        niter, (cos_t, sin_t, f, t), ct, unroll=unroll
     )
-    zero = jnp.zeros(shape)
-
-    # s_t (the digamma partial sum) depends only on t — carry it at t's
-    # (bs, 1) shape so the two per-iteration divisions don't run per-pixel
-    s_t0 = jnp.zeros(jnp.broadcast_shapes(jnp.shape(t), jnp.shape(f)))
-
-    def step(i, carry):
-        ax, ay, s_t, g_th, g_f, g_t = carry
-        n = i.astype(cos_t.dtype)
-        ratio = -f * (2 * n - (2 - t)) / (2 * n + (2 - t))
-        ax, ay = ratio * (cos_2t * ax - sin_2t * ay), ratio * (sin_2t * ax + cos_2t * ay)
-        s_t = s_t + 1.0 / (2 * n - 2 + t) + 1.0 / (2 * n + 2 - t)
-        dot = ct_x * ax + ct_y * ay
-        # d a_n/d theta = i(2n+1) a_n = (2n+1)(-ay, ax)
-        g_th = g_th + (2 * n + 1) * (-ct_x * ay + ct_y * ax)
-        g_f = g_f + (n / f) * dot
-        g_t = g_t + s_t * dot
-        return (ax, ay, s_t, g_th, g_f, g_t)
-
-    # n = 0 term: a_0 = e^{i theta}; contributes only to g_theta
-    g_th0 = -ct_x * sin_t + ct_y * cos_t
-    _, _, _, g_th, g_f, g_t = lax.fori_loop(
-        1, niter, step, (cos_t, sin_t, s_t0, g_th0, zero, zero),
-        unroll=_UNROLL if unroll is None else unroll,
-    )
-
-    def _reduce_to(g, x):
-        extra = g.ndim - jnp.ndim(x)
-        if extra:
-            g = jnp.sum(g, axis=tuple(range(extra)))
-        for i, (gs, xs) in enumerate(zip(g.shape, jnp.shape(x))):
-            if xs == 1 and gs != 1:
-                g = jnp.sum(g, axis=i, keepdims=True)
-        return g
-
-    return _reduce_to(g_th, theta), _reduce_to(g_f, f), _reduce_to(g_t, t)
+    # d/d theta = -sin * d/d cos + cos * d/d sin (the radial parts cancel)
+    g_th = cos_t * g_s - sin_t * g_c
+    return _reduce_to(g_th, theta), g_f, g_t
 
 
 _omega.defvjp(_omega_fwd, _omega_bwd)
@@ -164,10 +226,12 @@ class EPL(MassProfile):
 
         x, y = rotate(x - center_x, y - center_y, phi)
         R = jnp.clip(jnp.sqrt((q * x) ** 2 + y**2), 1e-10, 1e10)
-        theta = jnp.arctan2(y, q * x)
+        # polar direction algebraically — no arctan2 (the series only needs
+        # cos/sin, and dividing by the clipped R is exact and smooth)
+        cos_t, sin_t = q * x / R, y / R
 
         f = (1 - q) / (1 + q)
-        omega_x, omega_y = _omega(theta, f, t, self.niter)
+        omega_x, omega_y = _omega_cs(cos_t, sin_t, f, t, self.niter)
 
         prefac = (2 * b) / (1 + q) * (b / R) ** (t - 1)
         return rotate(prefac * omega_x, prefac * omega_y, -phi)

@@ -1,14 +1,10 @@
-"""Full-phase HMC A/B: exact FFT path vs fused-render + FFT conv (TPU).
+"""HMC seed-variance probe on the published workload (TPU).
 
-The fused Pallas render is ~1.5x faster per leapfrog gradient at bs=50
-(4.46 vs 6.58 ms) and its likelihood deviates from the XLA render by a
-~1-nat *smooth* offset (same conv path) — i.e. HMC on it targets an
-imperceptibly perturbed posterior, unlike the bf16-DFT path whose noise
-collapses dual averaging. This runs MAP+SVI once, then the published HMC
-workload (50 chains x 250+750) on both simulators and compares wall-clock,
-acceptance, adapted step size, min ESS, ESS/sec, and split-R-hat.
+Runs MAP+SVI once, then the exact-path HMC phase at several seeds to
+separate real per-gradient cost changes from ChEES/dual-averaging
+adaptation noise in (eps, trajectory, min ESS).
 
-    python scripts/bench_hmc_fused.py
+    python scripts/bench_hmc_seeds.py [seeds ...]   # default: 2 3 4
 """
 import os as _os
 import sys as _sys
@@ -18,6 +14,7 @@ if _REPO_ROOT not in _sys.path:
     _sys.path.insert(0, _REPO_ROOT)
 
 import dataclasses
+import sys
 import time
 
 import numpy as np
@@ -32,19 +29,18 @@ def main():
     import optax
 
     from __graft_entry__ import _demo_setup
-    from gigalens_tpu.inference import ModellingSequence
-    from gigalens_tpu.inference.hmc import fit_hmc
-    from gigalens_tpu.model import ForwardProbModel
-    from gigalens_tpu.simulator import LensSimulator
-    from gigalens_tpu.utils import effective_sample_size, potential_scale_reduction
-
-    prior, phys, cfg, _, _ = _demo_setup(num_pix=80, bs=16, psf_size=25)
-    # published workload: EPL niter=50 (the demo's value — _demo_setup uses 18)
     from gigalens_tpu import PhysicalModel
+    from gigalens_tpu.inference import ModellingSequence
+    from gigalens_tpu.model import ForwardProbModel
     from gigalens_tpu.profiles.light.sersic import SersicEllipse
     from gigalens_tpu.profiles.mass.epl import EPL
     from gigalens_tpu.profiles.mass.shear import Shear
+    from gigalens_tpu.simulator import LensSimulator
+    from gigalens_tpu.utils import effective_sample_size, potential_scale_reduction
 
+    seeds = [int(a) for a in sys.argv[1:]] or [2, 3, 4]
+
+    prior, _, cfg, _, _ = _demo_setup(num_pix=80, bs=16, psf_size=25)
     phys = PhysicalModel([EPL(50), Shear()], [SersicEllipse()], [SersicEllipse()])
     psf_path = "/root/reference/src/gigalens/assets/psf.npy"
     if _os.path.exists(psf_path):
@@ -73,23 +69,17 @@ def main():
     print(f"MAP+SVI: {time.time()-t0:.1f}s  elbo {float(losses[-1]):.1f}",
           flush=True)
 
-    variants = {
-        "exact fft": dict(psf_mode="fft", use_fused_render=False),
-        "fft+fused": dict(psf_mode="fft", use_fused_render=True),
-    }
-    for name, kw in variants.items():
-        sim = LensSimulator(phys, dataclasses.replace(cfg, **kw), bs=50)
+    for seed in seeds:
         t0 = time.time()
-        res = fit_hmc(pm, sim, q_z, n_hmc=50, num_burnin_steps=250,
-                      num_results=750, max_leapfrog_steps=30, seed=2,
-                      mesh=seq.mesh, segment_steps=250)
+        res = seq.HMC(q_z, n_hmc=50, num_burnin_steps=250, num_results=750,
+                      max_leapfrog_steps=30, seed=seed, segment_steps=250)
         jax.block_until_ready(res.samples)
         dt = time.time() - t0
         ess = np.asarray(effective_sample_size(res.samples))
         rhat = np.asarray(potential_scale_reduction(res.samples))
         acc = float(np.asarray(res.accept_rate)[-100:].mean())
         print(
-            f"{name:10s}: {dt:6.1f}s  accept {acc:.2f} "
+            f"seed={seed}: {dt:6.1f}s  accept {acc:.2f} "
             f"eps {float(res.step_size):.4f} traj {float(res.trajectory_length):.4f} "
             f"min ESS {ess.min():7.0f}  ESS/s {ess.min()/dt:6.1f}  "
             f"max rhat {rhat.max():.4f}",
