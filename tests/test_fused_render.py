@@ -96,3 +96,34 @@ def test_fused_simulator_integration(setup):
     got = fused_render(pack_params(params), sim_x.img_x, sim_x.img_y, 18, True)
     got_img = got.reshape(3, 12, 12) * sim_x.conversion_factor
     np.testing.assert_allclose(got_img, want, rtol=1e-4, atol=1e-3)
+
+
+def test_half_angle_matches_arctan2():
+    """half_angle (branch-aware algebra) vs the exact arctan2 half-angle."""
+    import numpy as np
+
+    from gigalens_tpu.ops.pallas._math import half_angle
+
+    rng = np.random.default_rng(0)
+    e1 = np.concatenate(
+        [rng.normal(0, 0.1, 2000), [-0.1, -0.1, 0.1, 1e-9, -1e-9, 0.2]]
+    ).astype(np.float32)
+    e2 = np.concatenate(
+        [rng.normal(0, 0.1, 2000), [1e-8, -1e-8, 1e-8, 1e-9, 1e-12, 0.0]]
+    ).astype(np.float32)
+    phi = np.arctan2(e2, e1) / 2
+    cp, sp = (np.asarray(v) for v in half_angle(jnp.asarray(e1), jnp.asarray(e2)))
+    ok = np.sqrt(e1**2 + e2**2) > 1e-11
+    np.testing.assert_allclose(cp[ok], np.cos(phi)[ok], atol=3e-7)
+    np.testing.assert_allclose(sp[ok], np.sin(phi)[ok], atol=3e-7)
+
+    # gradients stay bounded like arctan2's (~1/m), including near the
+    # e1 < 0 branch cut where the naive one-branch formula blows up
+    g = jax.vmap(
+        jax.grad(lambda a, b: sum(half_angle(a, b)), argnums=(0, 1))
+    )(jnp.asarray(e1), jnp.asarray(e2))
+    g = np.stack([np.asarray(x) for x in g])
+    m = np.sqrt(e1**2 + e2**2)
+    sel = m > 1e-3
+    assert np.isfinite(g[:, sel]).all()
+    assert np.abs(g[:, sel]).max() < 10.0 / m[sel].min()
