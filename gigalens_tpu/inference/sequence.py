@@ -175,6 +175,7 @@ class ModellingSequence:
         target: str = "pixels",
         auxiliar: str = "positions",
         seed: int = 1,
+        segment_stages: int = 0,
     ):
         n = num_particles * num_ensembles
         sim = self._sim(n, exact=True)
@@ -193,4 +194,5 @@ class ModellingSequence:
             auxiliar=auxiliar,
             seed=seed,
             mesh=self.mesh,
+            segment_stages=segment_stages,
         )

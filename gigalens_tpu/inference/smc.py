@@ -17,7 +17,10 @@ Pure-JAX replacement for the reference's
     ``simple_heuristic_tuning`` (enough moves for ~95% probability that a
     particle moves at least once, capped at ``max_sampling_per_stage``).
 
-The whole run is one ``lax.while_loop`` over stages — no host round-trips.
+The tempering loop runs as a ``lax.while_loop`` on device, dispatched in
+bounded segments (``segment_stages``) because the axon TPU tunnel kills
+single executions that run longer than a few minutes; each segment is a
+single host round-trip.
 """
 from __future__ import annotations
 
@@ -65,6 +68,7 @@ def fit_smc(
     optimal_accept: float = 0.651,
     seed: int = 1,
     mesh=None,
+    segment_stages: int = 0,
 ):
     P, E = num_particles, num_ensembles
     n = P * E
@@ -87,6 +91,16 @@ def fit_smc(
         z0 = _pick(k_init, jnp.asarray(start))
 
     def _stats(name):
+        # degrade gracefully when the model lacks the selected term (the
+        # default auxiliar="positions" on a pixels-only model means "no
+        # auxiliary likelihood", matching the reference's intent at
+        # src/gigalens/jax/inference.py:234-240)
+        if name == "pixels" and not getattr(prob_model, "include_pixels", True):
+            name = "none"
+        if name == "positions" and not getattr(
+            prob_model, "include_positions", True
+        ):
+            name = "none"
         if name == "pixels":
             return lambda x: prob_model.stats_pixels(simulator, x)[0]
         if name == "positions":
@@ -236,16 +250,19 @@ def fit_smc(
         return _State(key, z, beta_new, log_scalings, num_steps, s.stage + 1)
 
     @jax.jit
-    def run(z0, key):
-        s0 = _State(
-            key=key,
-            z=z0,
-            beta=jnp.zeros((E,)),
-            log_scalings=jnp.full((P, E), init_log_scaling),
-            num_steps=jnp.asarray(max_sampling_per_stage, jnp.int32),
-            stage=jnp.asarray(0, jnp.int32),
-        )
-        s = jax.lax.while_loop(cond, stage_body, s0)
+    def run_stages(s, seg_end):
+        """Advance the tempering while_loop up to ``seg_end`` stages.
+
+        Segmenting bounds the wall-time of a single device dispatch — the
+        axon TPU tunnel kills executions running longer than a few minutes
+        (same reason MAP/SVI/HMC expose ``segment_steps``)."""
+        def seg_cond(s):
+            return cond(s) & (s.stage < seg_end)
+
+        return jax.lax.while_loop(seg_cond, stage_body, s)
+
+    @jax.jit
+    def run_post(s):
 
         # optional post-SMC HMC chain at beta = 1 reusing tuned scalings
         def post_step(carry, key):
@@ -261,5 +278,20 @@ def fit_smc(
             post = jnp.zeros((0, n, d))
         return s.z, s.stage, s.log_scalings, post, s.beta
 
-    z, stages, log_scalings, post, beta = run(z0, key)
+    s = _State(
+        key=key,
+        z=z0,
+        beta=jnp.zeros((E,)),
+        log_scalings=jnp.full((P, E), init_log_scaling),
+        num_steps=jnp.asarray(max_sampling_per_stage, jnp.int32),
+        stage=jnp.asarray(0, jnp.int32),
+    )
+    seg = segment_stages if segment_stages > 0 else max_stage
+    while True:
+        stage0 = int(s.stage)
+        s = run_stages(s, jnp.asarray(stage0 + seg, jnp.int32))
+        jax.block_until_ready(s.z)
+        if float(jnp.min(s.beta)) >= 1.0 or int(s.stage) >= max_stage:
+            break
+    z, stages, log_scalings, post, beta = run_post(s)
     return SMCResult(z, stages, log_scalings, post, beta)
