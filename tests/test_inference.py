@@ -180,3 +180,15 @@ def test_smc_gaussian_posterior():
     # posterior: var = 1/(1/1 + 1/0.25) = 0.2, mean = 0.2 * (1/0.25) = 0.8
     np.testing.assert_allclose(s.mean(0), [0.8] * 3, atol=0.08)
     np.testing.assert_allclose(s.var(0), [0.2] * 3, atol=0.07)
+
+
+def test_smc_pixels_only_default_aux_and_segments(seq):
+    """Default auxiliar="positions" degrades to "none" on a pixels-only
+    model, and segmented dispatch matches the run semantics (beta advances,
+    particles finite)."""
+    res = seq.SMC(num_particles=16, num_ensembles=1, num_leapfrog_steps=2,
+                  post_sampling_steps=2, max_stage=3, seed=0,
+                  segment_stages=1)
+    assert np.isfinite(np.asarray(res.particles)).all()
+    assert float(res.final_beta[0]) > 0.0
+    assert int(res.num_stages) <= 3
