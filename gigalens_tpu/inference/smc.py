@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gigalens_tpu.parallel import mesh as pmesh
+
 
 class SMCResult(NamedTuple):
     particles: jnp.ndarray       # (P, E, d) final particles at beta = 1
@@ -89,6 +91,11 @@ def fit_smc(
             return start[idx]
 
         z0 = _pick(k_init, jnp.asarray(start))
+
+    if mesh is not None and mesh.size > 1:
+        # particles ride the mesh's sample axis; the only cross-device
+        # traffic is the resampling gather and the scalar stage reductions
+        z0 = pmesh.shard_samples(z0, mesh)
 
     def _stats(name):
         # degrade gracefully when the model lacks the selected term (the
@@ -247,6 +254,7 @@ def fit_smc(
         num_steps = jnp.ceil(jnp.log1p(-0.95) / jnp.log1p(-p_move)).astype(jnp.int32)
         num_steps = jnp.clip(num_steps, min_sampling_per_stage, max_sampling_per_stage)
 
+        z = pmesh.constrain_samples(z, mesh)
         return _State(key, z, beta_new, log_scalings, num_steps, s.stage + 1)
 
     @jax.jit

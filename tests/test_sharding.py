@@ -80,3 +80,18 @@ def test_round_to_multiple(mesh):
     assert round_to_multiple(500, 8) == 496
     assert round_to_multiple(3, 8) == 8
     assert round_to_multiple(16, 8) == 16
+
+
+def test_sharded_smc_runs(demo_prior, demo_physmodel, small_sim_config, mesh):
+    from gigalens_tpu.inference import ModellingSequence
+    from gigalens_tpu.model import ForwardProbModel
+
+    pm = ForwardProbModel(
+        demo_prior, np.zeros((20, 20), np.float32), background_rms=0.1,
+        exp_time=100,
+    )
+    seq = ModellingSequence(demo_physmodel, pm, small_sim_config, mesh=mesh)
+    res = seq.SMC(num_particles=16, num_ensembles=1, num_leapfrog_steps=2,
+                  post_sampling_steps=2, max_stage=2, seed=0,
+                  segment_stages=1)
+    assert np.isfinite(np.asarray(res.particles)).all()
