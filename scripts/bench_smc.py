@@ -40,6 +40,7 @@ def main():
     from gigalens_tpu.simulator import LensSimulator
 
     particles = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    ensembles = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 
     prior, _, cfg, _, _ = _demo_setup(num_pix=80, bs=16, psf_size=25)
     phys = PhysicalModel([EPL(50), Shear()], [SersicEllipse()], [SersicEllipse()])
@@ -58,18 +59,20 @@ def main():
     seq = ModellingSequence(phys, pm, cfg)
 
     t0 = time.time()
-    res = seq.SMC(start=None, num_particles=particles, num_ensembles=1,
+    res = seq.SMC(start=None, num_particles=particles,
+                  num_ensembles=ensembles,
                   num_leapfrog_steps=10, post_sampling_steps=100,
                   max_stage=200, seed=1, segment_stages=2)
     jax.block_until_ready(res.particles)
     dt = time.time() - t0
 
-    z = res.particles.reshape(particles, -1)
-    sim_b = LensSimulator(phys, dataclasses.replace(cfg), bs=particles)
+    n_tot = particles * ensembles
+    z = res.particles.reshape(n_tot, -1)
+    sim_b = LensSimulator(phys, dataclasses.replace(cfg), bs=n_tot)
     _, chi2 = jax.jit(lambda zz: pm.log_prob(sim_b, zz))(z)
     chi2 = np.asarray(chi2)
     print(
-        f"SMC: {dt:.1f}s  particles={particles} stages={int(res.num_stages)} "
+        f"SMC: {dt:.1f}s  particles={particles}x{ensembles} stages={int(res.num_stages)} "
         f"final beta={float(res.final_beta[0]):.3f} "
         f"posterior chi2 mean {np.nanmean(chi2):.4f} "
         f"(finite {np.isfinite(chi2).mean():.3f})",
@@ -77,7 +80,7 @@ def main():
     )
     # posterior spread sanity: truth recovery of theta_E
     p = seq.prob_model.prior.constrain(z)
-    te = np.asarray(p["lens_mass"][0]["theta_E"])
+    te = np.asarray(p["lens_mass"][0]["theta_E"]).ravel()
     te_true = float(np.asarray(truth["lens_mass"][0]["theta_E"])[0])
     print(f"theta_E: true {te_true:.4f}  posterior {te.mean():.4f} "
           f"+- {te.std():.4f}", flush=True)
