@@ -176,6 +176,7 @@ class ModellingSequence:
         auxiliar: str = "positions",
         seed: int = 1,
         segment_stages: int = 0,
+        progress=None,
     ):
         n = num_particles * num_ensembles
         sim = self._sim(n, exact=True)
@@ -195,4 +196,5 @@ class ModellingSequence:
             seed=seed,
             mesh=self.mesh,
             segment_stages=segment_stages,
+            progress=progress,
         )

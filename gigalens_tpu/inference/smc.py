@@ -71,6 +71,7 @@ def fit_smc(
     seed: int = 1,
     mesh=None,
     segment_stages: int = 0,
+    progress=None,
 ):
     P, E = num_particles, num_ensembles
     n = P * E
@@ -299,6 +300,8 @@ def fit_smc(
         stage0 = int(s.stage)
         s = run_stages(s, jnp.asarray(stage0 + seg, jnp.int32))
         jax.block_until_ready(s.z)
+        if progress is not None:
+            progress(int(s.stage), float(jnp.min(s.beta)))
         if float(jnp.min(s.beta)) >= 1.0 or int(s.stage) >= max_stage:
             break
     z, stages, log_scalings, post, beta = run_post(s)
