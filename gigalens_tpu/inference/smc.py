@@ -270,22 +270,41 @@ def fit_smc(
 
         return jax.lax.while_loop(seg_cond, stage_body, s)
 
+    # post-SMC HMC chain at beta = 1 reusing tuned scalings, dispatched in
+    # the same bounded segments as the tempering loop (a 100-step chain at
+    # bs >= 500 in one dispatch exceeds the axon tunnel's execution limit)
     @jax.jit
-    def run_post(s):
-
-        # optional post-SMC HMC chain at beta = 1 reusing tuned scalings
+    def post_chunk(z, lp_val, log_scalings, keys):
         def post_step(carry, key):
             z, lp_val = carry
-            z, lp_val, _ = hmc_move(key, z, lp_val, jnp.ones((E,)), s.log_scalings)
+            z, lp_val, _ = hmc_move(key, z, lp_val, jnp.ones((E,)), log_scalings)
             return (z, lp_val), z.reshape(n, d)
 
-        if post_sampling_steps > 0:
-            keys = jax.random.split(s.key, post_sampling_steps)
-            lp_val = tempered(s.z, jnp.ones((E,)))
-            _, post = jax.lax.scan(post_step, (s.z, lp_val), keys)
-        else:
-            post = jnp.zeros((0, n, d))
-        return s.z, s.stage, s.log_scalings, post, s.beta
+        (z, lp_val), post = jax.lax.scan(post_step, (z, lp_val), keys)
+        return z, lp_val, post
+
+    @jax.jit
+    def _post_init(s):
+        return tempered(s.z, jnp.ones((E,)))
+
+    def run_post(s):
+        if post_sampling_steps <= 0:
+            return s.z, s.stage, s.log_scalings, jnp.zeros((0, n, d)), s.beta
+        keys = jax.random.split(s.key, post_sampling_steps)
+        lp_val = _post_init(s)
+        chunk = post_sampling_steps
+        if segment_stages > 0:
+            # ~2 tempering stages' worth of moves per dispatch
+            chunk = max(2 * segment_stages * max_sampling_per_stage, 1)
+        z, parts = s.z, []
+        for lo in range(0, post_sampling_steps, chunk):
+            z, lp_val, post = post_chunk(z, lp_val, s.log_scalings,
+                                         keys[lo : lo + chunk])
+            jax.block_until_ready(post)
+            parts.append(post)
+        # particles stay the beta=1 tempering output (the post chain is a
+        # separate sample stream), matching the unsegmented behavior
+        return s.z, s.stage, s.log_scalings, jnp.concatenate(parts), s.beta
 
     s = _State(
         key=key,
