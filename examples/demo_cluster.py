@@ -9,6 +9,12 @@ likelihood, and a short MAP fit.
 Usage: python examples/demo_cluster.py [--cpu] [--series]
 """
 import argparse
+import os as _os
+import sys as _sys
+
+_REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)
 import time
 
 import numpy as np

@@ -29,11 +29,16 @@ _R_MIN = 1e-4
 
 
 def _sort_core_cut(r_core, r_cut):
-    """Enforces r_core < r_cut (reference guard, ``piemd.py:55-63``)."""
+    """Enforces r_core < r_cut (reference guard, ``piemd.py:55-63``).
+
+    ``hi`` is floored at ``lo + _R_MIN`` so the ``r_cut/(r_cut - r_core)``
+    scale never divides by zero — with both radii 0 (e.g. a zero-luminosity
+    padded galaxy in a scaling relation) the old ``hi + _R_MIN`` form made
+    hi == lo and produced 0/0 = NaN, which poisoned whole member sums."""
     lo = jnp.minimum(r_core, r_cut)
     hi = jnp.maximum(r_core, r_cut)
     lo = jnp.maximum(_R_MIN, lo)
-    hi = jnp.where(hi > lo + _R_MIN, hi, hi + _R_MIN)
+    hi = jnp.maximum(hi, lo + _R_MIN)
     return lo, hi
 
 
@@ -136,8 +141,16 @@ class DPIE(MassProfile):
     _name = "dPIE"
     _params = ["theta_E", "r_core", "r_cut", "center_x", "center_y", "e1", "e2"]
 
+    # the K&K complex formula divides by sqrt(e): floor the ellipticity at
+    # a level (1e-6) far below f32 resolution of the deflection — the e -> 0
+    # limit is smooth (verified: values converge by e ~ 1e-5) but e = 0
+    # exactly is 0/0
+    _E_MIN = 1e-6
+
     def deriv(self, x, y, theta_E, r_core, r_cut, e1, e2, center_x=0.0, center_y=0.0):
         e, q, phi = ellipticity_to_polar(e1, e2)
+        e = jnp.maximum(e, self._E_MIN)
+        q = (1.0 - e) / (1.0 + e)
         x, y = rotate(x - center_x, y - center_y, phi)
         r_core, r_cut = _sort_core_cut(r_core, r_cut)
         scale = theta_E * r_cut / (r_cut - r_core)

@@ -146,3 +146,57 @@ def test_dpie_subhalo_series_matches_direct(catalogue, rng):
         )
         np.testing.assert_allclose(got[0][0], want[0][0], rtol=5e-3, atol=2e-3)
         np.testing.assert_allclose(got[1][0], want[1][0], rtol=5e-3, atol=2e-3)
+
+
+def test_dpie_degenerate_params_finite():
+    """Zero-luminosity padded galaxies (all scaled params 0) and exactly
+    circular members must produce finite (and for the padded case, zero)
+    deflections — regression: the r_core=r_cut=0 corner made the sort guard
+    emit hi == lo (0/0 scale) and e=0 hit the K&K formula's 1/sqrt(e)."""
+    from gigalens_tpu.profiles.mass.dpie import DPIE
+
+    d = DPIE()
+    x = jnp.asarray([3.1, -2.8], jnp.float32)
+    y = jnp.asarray([0.4, -0.6], jnp.float32)
+
+    fx, fy = d.deriv(x, y, theta_E=0.0, r_core=0.0, r_cut=0.0,
+                     e1=0.1, e2=-0.05, center_x=2.0, center_y=1.0)
+    np.testing.assert_array_equal(np.asarray(fx), 0.0)
+    np.testing.assert_array_equal(np.asarray(fy), 0.0)
+
+    fx0, fy0 = d.deriv(x, y, theta_E=0.3, r_core=0.08, r_cut=1.5,
+                       e1=0.0, e2=0.0, center_x=2.0, center_y=1.0)
+    fx1, fy1 = d.deriv(x, y, theta_E=0.3, r_core=0.08, r_cut=1.5,
+                       e1=1e-5, e2=0.0, center_x=2.0, center_y=1.0)
+    # e = 0 must agree with the smooth e -> 0 limit (floored at e = 1e-6,
+    # so comparing against e = 1e-5 carries ~delta-e * dalpha/de of slack)
+    np.testing.assert_allclose(np.asarray(fx0), np.asarray(fx1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fy0), np.asarray(fy1), atol=1e-4)
+
+    h = d.hessian(x, y, theta_E=0.0, r_core=0.0, r_cut=0.0,
+                  e1=0.1, e2=-0.05, center_x=2.0, center_y=1.0)
+    assert all(bool(jnp.isfinite(v).all()) for v in h)
+
+
+def test_scaling_relation_padded_chunk_finite(rng):
+    """A catalogue size that forces zero-luminosity padding must not poison
+    the member sum (the padded galaxy's dPIE params are all zero)."""
+    from gigalens_tpu.profiles.mass.dpie_subhalo import DPIESubhalo
+
+    G = 5  # chunk_size 4 -> pads to 8 with 3 zero-lum galaxies
+    cat = dict(
+        lum=rng.uniform(0.5, 2.0, G).astype(np.float32),
+        center_x=rng.normal(0, 2.0, G).astype(np.float32),
+        center_y=rng.normal(0, 2.0, G).astype(np.float32),
+        e1=rng.uniform(-0.2, 0.2, G).astype(np.float32),
+        e2=rng.uniform(-0.2, 0.2, G).astype(np.float32),
+    )
+    members = DPIESubhalo(lum_star=1.0, galaxy_catalogue=cat, chunk_size=4)
+    x = jnp.asarray(rng.normal(size=32) * 2, jnp.float32)
+    y = jnp.asarray(rng.normal(size=32) * 2, jnp.float32)
+    fx, fy = members.deriv(x, y, theta_E=jnp.float32(0.3),
+                           r_core=jnp.float32(0.08), r_cut=jnp.float32(1.5))
+    assert bool(jnp.isfinite(fx).all() and jnp.isfinite(fy).all())
+    h = members.hessian(x, y, theta_E=jnp.float32(0.3),
+                        r_core=jnp.float32(0.08), r_cut=jnp.float32(1.5))
+    assert all(bool(jnp.isfinite(v).all()) for v in h)
