@@ -60,7 +60,8 @@ import os
 # VMEM residency); combined with the fully unrolled series loop below the
 # forward kernel runs 6x faster than the original 512/rolled configuration
 PIX_BLK = int(os.environ.get("GIGALENS_FUSED_PIX_BLK", "2560"))
-S_BLK = 8       # samples per block (sublane axis)
+S_BLK = 8       # samples per block (one native f32 sublane tile; 16 measured
+                # neutral, smaller blocks violate kernel layout assumptions)
 N_PARAMS = 22
 P_PAD = 128     # params row padded to one full lane vector
 
