@@ -34,7 +34,9 @@ import jax
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
 else:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(_REPO_ROOT, ".jax_cache")
+    )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
@@ -50,7 +52,16 @@ from gigalens_tpu.profiles.mass.epl import EPL
 from gigalens_tpu.profiles.mass.shear import Shear
 from gigalens_tpu.utils import effective_sample_size, potential_scale_reduction
 
-ASSETS = "/root/reference/src/gigalens/assets"
+# location of the reference package's demo assets; override with
+# GIGALENS_ASSETS=/path/to/gigalens/src/gigalens/assets
+ASSETS = os.environ.get(
+    "GIGALENS_ASSETS", "/root/reference/src/gigalens/assets"
+)
+if not os.path.exists(os.path.join(ASSETS, "demo.npy")):
+    raise SystemExit(
+        f"demo assets not found under {ASSETS}; set GIGALENS_ASSETS to the "
+        "gigalens package's assets directory (contains demo.npy, psf.npy)"
+    )
 
 obs = np.load(os.path.join(ASSETS, "demo.npy")).astype(np.float32)
 psf = np.load(os.path.join(ASSETS, "psf.npy")).astype(np.float32)

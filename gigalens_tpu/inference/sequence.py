@@ -178,6 +178,7 @@ class ModellingSequence:
         segment_stages: int = 0,
         progress=None,
     ):
+        num_particles = pmesh.round_to_multiple(num_particles, self.mesh.size)
         n = num_particles * num_ensembles
         sim = self._sim(n, exact=True)
         return fit_smc(

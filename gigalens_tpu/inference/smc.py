@@ -98,16 +98,24 @@ def fit_smc(
         # traffic is the resampling gather and the scalar stage reductions
         z0 = pmesh.shard_samples(z0, mesh)
 
-    def _stats(name):
-        # degrade gracefully when the model lacks the selected term (the
-        # default auxiliar="positions" on a pixels-only model means "no
+    def _stats(name, required=False):
+        # degrade the *auxiliary* term gracefully when the model lacks it
+        # (the default auxiliar="positions" on a pixels-only model means "no
         # auxiliary likelihood", matching the reference's intent at
-        # src/gigalens/jax/inference.py:234-240)
-        if name == "pixels" and not getattr(prob_model, "include_pixels", True):
-            name = "none"
-        if name == "positions" and not getattr(
-            prob_model, "include_positions", True
-        ):
+        # src/gigalens/jax/inference.py:234-240); a missing *target* term
+        # would silently sample the prior, so that raises instead
+        missing = (
+            name == "pixels" and not getattr(prob_model, "include_pixels", True)
+        ) or (
+            name == "positions"
+            and not getattr(prob_model, "include_positions", True)
+        )
+        if missing:
+            if required:
+                raise ValueError(
+                    f"SMC target likelihood {name!r} is not configured on "
+                    "this probabilistic model"
+                )
             name = "none"
         if name == "pixels":
             return lambda x: prob_model.stats_pixels(simulator, x)[0]
@@ -117,7 +125,7 @@ def fit_smc(
             return lambda x: jnp.zeros((n,))
         raise ValueError(f"unknown likelihood selector: {name}")
 
-    target_fn = _stats(target)
+    target_fn = _stats(target, required=True)
     aux_fn = _stats(auxiliar)
 
     def like_parts(z_pe):
@@ -294,8 +302,9 @@ def fit_smc(
         lp_val = _post_init(s)
         chunk = post_sampling_steps
         if segment_stages > 0:
-            # ~2 tempering stages' worth of moves per dispatch
-            chunk = max(2 * segment_stages * max_sampling_per_stage, 1)
+            # bound each post dispatch by one tempering segment's move count
+            # (the budget segment_stages was tuned to)
+            chunk = max(segment_stages * max_sampling_per_stage, 1)
         z, parts = s.z, []
         for lo in range(0, post_sampling_steps, chunk):
             z, lp_val, post = post_chunk(z, lp_val, s.log_scalings,

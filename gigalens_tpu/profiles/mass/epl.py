@@ -9,7 +9,7 @@ ellipse-aligned frame is
 
 computed with ``lax.scan``. Naive reverse-mode through the scan stores every
 per-iteration carry — niter * (bs, npix) * 4 arrays, ~10 GB at the benchmark
-scale — so :func:`_omega` carries a **custom VJP** exploiting the series
+scale — so :func:`_omega_cs` carries a **custom VJP** exploiting the series
 structure for O(1)-memory exact gradients:
 
     d a_n / d theta = i (2n+1) a_n
@@ -75,11 +75,6 @@ def _omega_cs_impl(cos_t, sin_t, f, t, niter, unroll=None):
         unroll=_UNROLL if unroll is None else unroll,
     )
     return ox, oy
-
-
-def _omega_impl(theta, f, t, niter, unroll=None):
-    """Angular series from the angle itself (compatibility wrapper)."""
-    return _omega_cs_impl(jnp.cos(theta), jnp.sin(theta), f, t, niter, unroll)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -170,31 +165,6 @@ def _omega_cs_bwd(niter, res, ct, unroll=None):
 _omega_cs.defvjp(_omega_cs_fwd, _omega_cs_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _omega(theta, f, t, niter):
-    """Angular series Omega(theta; f, t) = sum_n a_n; returns (Re, Im).
-
-    Angle-parameterized compatibility wrapper over :func:`_omega_cs`.
-    """
-    return _omega_impl(theta, f, t, niter)
-
-
-def _omega_fwd(theta, f, t, niter):
-    return _omega(theta, f, t, niter), (theta, f, t)
-
-
-def _omega_bwd(niter, res, ct, unroll=None):
-    theta, f, t = res
-    cos_t, sin_t = jnp.cos(theta), jnp.sin(theta)
-    g_c, g_s, g_f, g_t = _omega_cs_bwd(
-        niter, (cos_t, sin_t, f, t), ct, unroll=unroll
-    )
-    # d/d theta = -sin * d/d cos + cos * d/d sin (the radial parts cancel)
-    g_th = cos_t * g_s - sin_t * g_c
-    return _reduce_to(g_th, theta), g_f, g_t
-
-
-_omega.defvjp(_omega_fwd, _omega_bwd)
 
 
 class EPL(MassProfile):
@@ -237,5 +207,5 @@ class EPL(MassProfile):
         return rotate(prefac * omega_x, prefac * omega_y, -phi)
 
     def hessian(self, x, y, **params):
-        # forward-mode cannot cross _omega's custom_vjp; use the reverse basis
+        # forward-mode cannot cross _omega_cs's custom_vjp; use the reverse basis
         return self.hessian_vjp(x, y, **params)

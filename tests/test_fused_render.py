@@ -116,6 +116,11 @@ def test_half_angle_matches_arctan2():
     ok = np.sqrt(e1**2 + e2**2) > 1e-11
     np.testing.assert_allclose(cp[ok], np.cos(phi)[ok], atol=3e-7)
     np.testing.assert_allclose(sp[ok], np.sin(phi)[ok], atol=3e-7)
+    # below the direction floor the result is the exact identity rotation
+    # (regression: the raw formulas gave the non-unit (sqrt(1/2), 0))
+    cp0, sp0 = half_angle(jnp.asarray([0.0, 1e-13]), jnp.asarray([0.0, 0.0]))
+    np.testing.assert_array_equal(np.asarray(cp0), 1.0)
+    np.testing.assert_array_equal(np.asarray(sp0), 0.0)
 
     # gradients stay bounded like arctan2's (~1/m), including near the
     # e1 < 0 branch cut where the naive one-branch formula blows up
