@@ -40,7 +40,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B_BLK = 8  # samples per grid step
+import os
+
+# samples per grid step: 4 measured best on v5e (fwd+grad 5.5 vs 6.0 ms at
+# 8, 6.9 ms at 16 — smaller blocks pipeline the HBM fetches better; 2 is
+# within noise of 4)
+B_BLK = int(os.environ.get("GIGALENS_DFT_B_BLK", "4"))
 
 
 def _chain(x, fh_re, fh_im, fwt_re, fwt_im, k_re, k_im,
