@@ -107,9 +107,15 @@ def sample_hmc(
     mass_adaptation: bool = True,
     mesh=None,
     segment_steps: int = 0,
+    progress=None,
 ):
     """Batched preconditioned HMC. ``z0``: (n_chains, d); ``log_prob_fn``
     maps (n_chains, d) -> (n_chains,).
+
+    ``progress``, if given, is called after every dispatched segment with
+    ``(steps_done, mean_accept_prob_of_segment)`` — live-feedback parity with
+    the reference TF substrate's ``ProgressBarReducer``
+    (``src/gigalens/tf/inference.py:166-169``).
 
     The mass matrix is M = Sigma^{-1} where Sigma is the (VI) covariance,
     given either as ``momentum_covariance`` or, preferably, by its Cholesky
@@ -311,6 +317,9 @@ def sample_hmc(
         carry, (zs, acc) = run_segment(carry, keys[lo:hi], halton[lo:hi])
         zs_parts.append(zs)
         acc_parts.append(acc)
+        if progress is not None:
+            jax.block_until_ready(acc)
+            progress(hi, float(jnp.mean(acc)))
     zf, _, _, da, ch, _, _, _, _, _, _ = carry
     zs = jnp.concatenate(zs_parts)
     acc = jnp.concatenate(acc_parts)
@@ -335,6 +344,7 @@ def fit_hmc(
     seed: int = 0,
     mesh=None,
     segment_steps: int = 0,
+    progress=None,
 ):
     """VI-preconditioned posterior sampling (reference signature parity).
 
@@ -377,4 +387,5 @@ def fit_hmc(
         mass_adaptation=mass_adaptation,
         mesh=mesh,
         segment_steps=segment_steps,
+        progress=progress,
     )

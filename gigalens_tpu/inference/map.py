@@ -30,12 +30,19 @@ def fit_map(
     mesh=None,
     return_history: bool = True,
     segment_steps: int = 0,
+    progress=None,
 ):
     """Runs multi-start Adam; returns (z, chi2_history).
 
     ``z`` is the (n_samples, d) unconstrained parameter matrix after
     ``num_steps`` updates; ``chi2_history`` is the per-step minimum reduced
     chi2 across samples (useful as a convergence trace).
+
+    ``progress``, if given, is called after every dispatched segment with
+    ``(steps_done, min_reduced_chi2)`` — the live-feedback parity point for
+    the reference's tqdm postfix (``src/gigalens/jax/inference.py:74-79``).
+    Pass ``segment_steps`` to control the reporting granularity (the reference
+    pays a host round-trip per step; here the granularity is explicit).
     """
     event_size = float(prob_model.event_size(simulator))
     key = jax.random.PRNGKey(seed)
@@ -84,13 +91,24 @@ def fit_map(
 
     carry = (z0, init_opt(z0))
     hists = []
+    steps_done = 0
+
+    def _report(hist):
+        if progress is not None:
+            jax.block_until_ready(hist)
+            progress(steps_done, float(jnp.nanmin(hist)))
+
     for _ in range(num_steps // n_seg):
         carry, hist = run_full(carry)
         hists.append(hist)
+        steps_done += n_seg
+        _report(hist)
     rem = num_steps % n_seg
     if rem:
         carry, hist = make_runner(rem)(carry)
         hists.append(hist)
+        steps_done += rem
+        _report(hist)
     z = carry[0]
     hist = jnp.concatenate(hists)
     return (z, hist) if return_history else z

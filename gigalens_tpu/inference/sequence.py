@@ -67,8 +67,9 @@ class ModellingSequence:
         num_steps: int = 350,
         seed: int = 0,
         segment_steps: int = 0,
+        progress=None,
     ):
-        n_samples = pmesh.round_to_multiple(n_samples, self.mesh.size)
+        n_samples = pmesh.round_to_multiple(n_samples, self.mesh.size, "n_samples")
         sim = self._sim(n_samples)
         z, _ = fit_map(
             self.prob_model,
@@ -80,6 +81,7 @@ class ModellingSequence:
             seed=seed,
             mesh=self.mesh,
             segment_steps=segment_steps,
+            progress=progress,
         )
         return z
 
@@ -113,8 +115,10 @@ class ModellingSequence:
         num_steps: int = 500,
         seed: int = 0,
         segment_steps: int = 0,
+        full_rank: bool = True,
+        progress=None,
     ):
-        n_vi = pmesh.round_to_multiple(n_vi, self.mesh.size)
+        n_vi = pmesh.round_to_multiple(n_vi, self.mesh.size, "n_vi")
         sim = self._sim(n_vi)
         return fit_svi(
             self.prob_model,
@@ -127,6 +131,8 @@ class ModellingSequence:
             seed=seed,
             mesh=self.mesh,
             segment_steps=segment_steps,
+            full_rank=full_rank,
+            progress=progress,
         )
 
     def HMC(
@@ -142,8 +148,9 @@ class ModellingSequence:
         mass_adaptation: bool = True,
         seed: int = 0,
         segment_steps: int = 0,
+        progress=None,
     ):
-        n_hmc = pmesh.round_to_multiple(n_hmc, self.mesh.size)
+        n_hmc = pmesh.round_to_multiple(n_hmc, self.mesh.size, "n_hmc chains")
         sim = self._sim(n_hmc, exact=True)
         return fit_hmc(
             self.prob_model,
@@ -160,6 +167,7 @@ class ModellingSequence:
             seed=seed,
             mesh=self.mesh,
             segment_steps=segment_steps,
+            progress=progress,
         )
 
     def SMC(
@@ -178,7 +186,7 @@ class ModellingSequence:
         segment_stages: int = 0,
         progress=None,
     ):
-        num_particles = pmesh.round_to_multiple(num_particles, self.mesh.size)
+        num_particles = pmesh.round_to_multiple(num_particles, self.mesh.size, "num_particles")
         n = num_particles * num_ensembles
         sim = self._sim(n, exact=True)
         return fit_smc(

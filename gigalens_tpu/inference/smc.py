@@ -298,22 +298,28 @@ def fit_smc(
     def run_post(s):
         if post_sampling_steps <= 0:
             return s.z, s.stage, s.log_scalings, jnp.zeros((0, n, d)), s.beta
-        keys = jax.random.split(s.key, post_sampling_steps)
         lp_val = _post_init(s)
         chunk = post_sampling_steps
         if segment_stages > 0:
             # bound each post dispatch by one tempering segment's move count
             # (the budget segment_stages was tuned to)
             chunk = max(segment_stages * max_sampling_per_stage, 1)
+        # Equal-length chunks so post_chunk compiles exactly once: ceil-divide
+        # into n_chunks segments of identical size, run the few surplus steps,
+        # and slice the extra samples away after concatenation.
+        n_chunks = -(-post_sampling_steps // chunk)
+        size = -(-post_sampling_steps // n_chunks)
+        keys = jax.random.split(s.key, size * n_chunks)
         z, parts = s.z, []
-        for lo in range(0, post_sampling_steps, chunk):
+        for lo in range(0, size * n_chunks, size):
             z, lp_val, post = post_chunk(z, lp_val, s.log_scalings,
-                                         keys[lo : lo + chunk])
+                                         keys[lo : lo + size])
             jax.block_until_ready(post)
             parts.append(post)
         # particles stay the beta=1 tempering output (the post chain is a
         # separate sample stream), matching the unsegmented behavior
-        return s.z, s.stage, s.log_scalings, jnp.concatenate(parts), s.beta
+        return (s.z, s.stage, s.log_scalings,
+                jnp.concatenate(parts)[:post_sampling_steps], s.beta)
 
     s = _State(
         key=key,

@@ -31,6 +31,8 @@ def fit_svi(
     mesh=None,
     segment_steps: int = 0,
     polyak_fraction: float = 0.25,
+    full_rank: bool = True,
+    progress=None,
 ):
     """Returns (q_z: MultivariateNormalTriL, elbo_loss_history).
 
@@ -43,7 +45,17 @@ def fit_svi(
     variational parameters over the last fraction of steps instead of the
     final iterate — the stochastic ELBO has a noise floor at a constant
     learning rate and the averaged covariance is markedly more reliable as
-    an HMC preconditioner."""
+    an HMC preconditioner.
+
+    ``full_rank=False`` selects the mean-field ansatz: a diagonal scale with
+    d free parameters instead of the d(d+1)/2 lower-triangular factor —
+    parity with the reference TF substrate's ``full_rank=False`` option
+    (``src/gigalens/tf/inference.py:62-66``, built on TFP's
+    ``build_factored_surrogate_posterior``). Useful for high-dimensional
+    cluster models where the TriL parameter count dominates; the returned
+    surrogate is still a :class:`MultivariateNormalTriL` (with a diagonal
+    factor), so the HMC preconditioning path is unchanged. A matrix
+    ``init_scales`` (e.g. ``laplace_scale_tril``) contributes its diagonal."""
     d = prob_model.prior.d
     import numpy as np
 
@@ -54,17 +66,31 @@ def fit_svi(
     )
     cov_bij = FillScaleTriL(d, diag_shift=1e-6)
 
-    @jax.jit
-    def _init(start, scale0):
-        start = jnp.reshape(start, (d,))
-        return jnp.concatenate([start, cov_bij.inverse(scale0)], axis=0)
+    if full_rank:
+        @jax.jit
+        def _init(start, scale0):
+            start = jnp.reshape(start, (d,))
+            return jnp.concatenate([start, cov_bij.inverse(scale0)], axis=0)
+
+        def unpack(qz_params):
+            mean = qz_params[:d]
+            tril = cov_bij.forward(qz_params[d:])
+            return mean, tril
+
+    else:
+        # mean-field: d log-scale parameters, scale = exp(raw) + diag_shift
+        @jax.jit
+        def _init(start, scale0):
+            start = jnp.reshape(start, (d,))
+            diag0 = jnp.maximum(jnp.abs(jnp.diagonal(scale0)), 1e-8)
+            return jnp.concatenate([start, jnp.log(diag0)], axis=0)
+
+        def unpack(qz_params):
+            mean = qz_params[:d]
+            tril = jnp.diag(jnp.exp(qz_params[d:]) + 1e-6)
+            return mean, tril
 
     qz_params = _init(jnp.asarray(start), jnp.asarray(scale0))
-
-    def unpack(qz_params):
-        mean = qz_params[:d]
-        tril = cov_bij.forward(qz_params[d:])
-        return mean, tril
 
     half_log_2pi_d = 0.5 * d * jnp.log(2 * jnp.pi)
 
@@ -120,15 +146,28 @@ def fit_svi(
              jnp.zeros((), qz_params.dtype), jnp.asarray(0))
     key = jax.random.PRNGKey(seed)
     losses = []
+    steps_done = 0
+
+    def _report(seg_losses):
+        # per-segment live feedback: (steps_done, last ELBO loss) — parity
+        # with the reference's tqdm ELBO postfix (jax/inference.py:132-139)
+        if progress is not None:
+            jax.block_until_ready(seg_losses)
+            progress(steps_done, float(seg_losses[-1]))
+
     for _ in range(num_steps // n_seg):
         key, k_seg = jax.random.split(key)
         carry, seg_losses = run_full(carry, k_seg)
         losses.append(seg_losses)
+        steps_done += n_seg
+        _report(seg_losses)
     rem = num_steps % n_seg
     if rem:
         key, k_seg = jax.random.split(key)
         carry, seg_losses = make_runner(rem)(carry, k_seg)
         losses.append(seg_losses)
+        steps_done += rem
+        _report(seg_losses)
     qz_params, _, avg, n_avg, _ = carry
     if polyak_fraction > 0:
         qz_params = jax.jit(lambda a, n, q: jnp.where(n > 0, a / jnp.maximum(n, 1), q))(

@@ -241,14 +241,30 @@ class BackwardProbModel:
     def event_size(self, simulator) -> int:
         return simulator.n_live_pix
 
-    def log_prob(self, simulator, z):
-        x = self.prior.constrain(z)
-        im_sim = simulator.lstsq_simulate(x, self.observed_image, self.err_map)
+    def stats_pixels(self, simulator, params):
+        """(log_like, reduced_chi2) of the pixel data for constrained params.
+
+        Same contract as :meth:`ForwardProbModel.stats_pixels` (used by the
+        SMC driver's likelihood selector); linear amplitudes are solved by
+        weighted least squares on the lstsq path.
+        """
+        im_sim = simulator.lstsq_simulate(params, self.observed_image, self.err_map)
         resid = (im_sim - self.observed_image) / self.err_map
         chi2_pix = resid**2
         log_like = -0.5 * jnp.sum(chi2_pix, axis=(-2, -1)) + self._log_norm
-        log_prior = self.prior.log_prob(x) + self.prior.fldj(z)
         red_chi2 = jnp.mean(chi2_pix, axis=(-2, -1))
+        return log_like, red_chi2
+
+    def stats_positions(self, simulator, params):
+        raise NotImplementedError(
+            "BackwardProbModel has no multiple-image position likelihood; "
+            "use ForwardProbModel(include_positions=True) for position terms"
+        )
+
+    def log_prob(self, simulator, z):
+        x = self.prior.constrain(z)
+        log_like, red_chi2 = self.stats_pixels(simulator, x)
+        log_prior = self.prior.log_prob(x) + self.prior.fldj(z)
         batch = z.shape[:-1]  # bs=1 squeeze leaves scalars; match Forward's shape
         return (
             jnp.broadcast_to(log_like + log_prior, batch),

@@ -64,14 +64,17 @@ def half_angle(e1, e2):
     atan2's range) and sin phi = sin 2phi / (2 cos phi); smooth everywhere
     except the genuine branch cut at e2 = 0, e1 < 0.
     """
-    m = jnp.sqrt(e1 * e1 + e2 * e2)
-    m_safe = jnp.maximum(m, 1e-12)
+    # The epsilon goes INSIDE the sqrt: sqrt(e1^2+e2^2) has an infinite
+    # derivative at the origin and a where-guard on the result alone still
+    # propagates NaN through the VJP (0 * inf); with the floor inside, both
+    # the value and the gradient of m are finite everywhere.
+    m = jnp.sqrt(e1 * e1 + e2 * e2 + 1e-24)
     # below the floor the direction is undefined: return the identity
     # rotation exactly (phi = 0) rather than the mis-normalized
     # (sqrt(1/2), 0) the raw formulas would give at c2 = s2 = 0
     degenerate = m <= 1e-11
-    c2 = jnp.where(degenerate, 1.0, e1 / m_safe)
-    s2 = jnp.where(degenerate, 0.0, e2 / m_safe)
+    c2 = jnp.where(degenerate, 1.0, e1 / m)
+    s2 = jnp.where(degenerate, 0.0, e2 / m)
     # Branch on the sign of e1 so the division is always by the
     # well-conditioned component (>= sqrt(2)/2): dividing by the vanishing
     # one has d/de ~ 1/|e2| near the e1 < 0 branch cut (measured blowing up

@@ -173,6 +173,14 @@ def _fwd_kernel(params_ref, x_ref, y_ref, out_ref, ox_ref, oy_ref, *, niter):
     out_ref[:] = _tile_out(p, x, y, ox, oy)
 
 
+def _fwd_kernel_primal(params_ref, x_ref, y_ref, out_ref, *, niter):
+    """Forward-only variant: no Omega residual writes. Non-differentiated
+    renders (simulate/inference forward passes) skip ~2x (bs, npix) f32 of
+    HBM traffic that the 3-output kernel would write and discard."""
+    p, x, y = params_ref[:], x_ref[:], y_ref[:]
+    out_ref[:] = _tile_fn(p, x, y, niter)
+
+
 def _bwd_kernel(params_ref, x_ref, y_ref, ox_ref, oy_ref, ct_ref, gp_ref, *, niter):
     """One angular-series loop per tile (the forward loop's result Omega is a
     saved residual): vjp through the closed-form output map gives the light /
@@ -244,14 +252,32 @@ def _render_impl(params, x, y, niter, interpret):
     return out[:bs, :P], ox, oy
 
 
+def _render_primal(params, x, y, niter, interpret):
+    """Runs the single-output forward kernel (no residual writes)."""
+    bs, bs_p, n_sblk, P, n_tiles, Pp, xp, yp, params_p = _prep(params, x, y)
+    blk = pl.BlockSpec((S_BLK, PIX_BLK), lambda b, p: (b, p), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_primal, niter=niter),
+        grid=(n_sblk, n_tiles),
+        in_specs=[
+            pl.BlockSpec((S_BLK, P_PAD), lambda b, p: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX_BLK), lambda b, p: (0, p), memory_space=pltpu.VMEM),
+        ],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((bs_p, Pp), jnp.float32),
+        interpret=interpret,
+    )(params_p, xp, yp)
+    return out[:bs, :P]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def fused_render(params, x, y, niter: int = 18, interpret: bool = False):
     """Fused flat-light render. params: (bs, N_PARAMS); x, y: (P,).
 
     Returns (bs, P) surface brightness on the supersampled live pixels.
     """
-    out, _, _ = _render_impl(params, x, y, niter, interpret)
-    return out
+    return _render_primal(params, x, y, niter, interpret)
 
 
 def _fused_fwd(params, x, y, niter, interpret):

@@ -50,6 +50,19 @@ def constrain_samples(x, mesh: Optional[Mesh], axis_name: str = SAMPLE_AXIS):
     return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
-def round_to_multiple(n: int, m: int) -> int:
-    """Largest multiple of ``m`` <= n (at least ``m``), reference rounding."""
-    return max((n // m) * m, m)
+def round_to_multiple(n: int, m: int, what: str = "samples") -> int:
+    """Largest multiple of ``m`` <= n (at least ``m``), reference rounding.
+
+    Warns when the count actually changes — result shapes (e.g. SMC particle
+    arrays) differ from what the caller asked for, which should not pass
+    silently."""
+    rounded = max((n // m) * m, m)
+    if rounded != n:
+        import warnings
+
+        warnings.warn(
+            f"rounding {what} {n} -> {rounded} (multiple of the {m}-device "
+            "mesh); result shapes follow the rounded count",
+            stacklevel=2,
+        )
+    return rounded

@@ -155,6 +155,16 @@ def fill_triangular(vec, d):
     Row-major over the lower triangle, matching ``tril_indices`` ordering, so
     ``fill_triangular(matrix[tril_indices(d)], d) == tril(matrix)``.
     Supports arbitrary leading batch dimensions on ``vec``.
+
+    .. note:: this ordering is **not** TFP's: ``tfp.math.fill_triangular``
+       packs the vector in a rotated concat-reshape order (its doc example:
+       ``[1..6] -> [[4, 0, 0], [6, 5, 0], [3, 2, 1]]``), whereas here
+       ``[1..6] -> [[1, 0, 0], [2, 3, 0], [4, 5, 6]]``. Saved SVI variational
+       vectors are therefore portable between gigalens_tpu versions but not
+       bit-interchangeable with TFP-format checkpoints; convert via the
+       matrix form (``fill_triangular_inverse(tfp_matrix)``). The resulting
+       MultivariateNormalTriL distributions are identical either way — only
+       the flat parameter layout differs.
     """
     rows, cols = jnp.tril_indices(d)
     out = jnp.zeros((*vec.shape[:-1], d, d), vec.dtype)

@@ -14,7 +14,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.scipy.special import ndtr, ndtri
+from jax.scipy.special import log_ndtr, ndtr, ndtri
 
 from gigalens_tpu.prob import bijectors as bij
 
@@ -150,9 +150,24 @@ class TruncatedNormal(Distribution):
         x = self.loc + self.scale * ndtri(fa + u * (fb - fa))
         return jnp.clip(x, self.low, self.high)
 
+    @staticmethod
+    def _log_gauss_mass(a, b):
+        """log(Phi(b) - Phi(a)), stable for far-tail truncation windows.
+
+        ``log(ndtr(b) - ndtr(a))`` cancels catastrophically when both bounds
+        sit in the same tail; computing in the left tail via ``log_ndtr``
+        (mirroring right-tail windows with (a, b) -> (-b, -a)) keeps full
+        precision. Same construction as scipy's truncnorm ``_log_gauss_mass``.
+        """
+        right = a > 0
+        a_, b_ = jnp.where(right, -b, a), jnp.where(right, -a, b)
+        la, lb = log_ndtr(a_), log_ndtr(b_)
+        # lb >= la always; exp(la - lb) <= 1 so log1p is well-defined
+        return lb + jnp.log1p(-jnp.exp(la - lb))
+
     def log_prob(self, x):
         a, b = self._alpha_beta()
-        log_z = jnp.log(ndtr(b) - ndtr(a))
+        log_z = self._log_gauss_mass(a, b)
         t = (x - self.loc) / self.scale
         lp = -0.5 * (t**2 + _LOG_2PI) - jnp.log(self.scale) - log_z
         lp = jnp.where((x >= self.low) & (x <= self.high), lp, -jnp.inf)

@@ -79,9 +79,13 @@ class Prior:
     # ------------------------------------------------------- z-matrix packing
     def _flatten_like(self, x):
         xl, xdef = jax.tree_util.tree_flatten(x)
-        if len(xl) != len(self.leaves):
+        # Structure must match, not just leaf count: a pytree with the same
+        # number of leaves but different nesting/key order would silently
+        # misalign z columns against the prior leaves.
+        if xdef != self.treedef:
             raise ValueError(
-                f"params pytree has {len(xl)} leaves, prior has {len(self.leaves)}"
+                "params pytree structure does not match the prior: "
+                f"got {xdef}, prior expects {self.treedef}"
             )
         return xl
 

@@ -30,6 +30,7 @@ from __future__ import annotations
 import math
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import jet
@@ -161,11 +162,34 @@ class MassSeries(MassProfile):
         return jnp.moveaxis(out, 1, 0)  # (c, bs, npix)
 
     def _on_grid(self, x):
-        """True when (x matches the precomputed grid) so coefficients apply."""
-        return (
-            self._x is not None
-            and int(np.prod(jnp.shape(x))) == int(np.prod(jnp.shape(self._x)))
-        )
+        """True when x IS the precomputed grid, so the coefficients apply.
+
+        Shape mismatch -> off-grid (the exact-evaluation fallback, e.g. for
+        multiple-image centroids). Shape match with *different values* is
+        almost certainly a stale-coefficient bug (same-size grid at a
+        different supersampling or region) and raises rather than silently
+        returning wrong deflections. Traced x with a matching shape cannot
+        be value-checked and is trusted (the simulator passes its grid as a
+        closure constant, so the common paths are all concrete here).
+        """
+        if self._x is None:
+            return False
+        if x is self._x:
+            return True
+        if tuple(jnp.shape(x)) != tuple(jnp.shape(self._x)):
+            return False
+        if isinstance(x, jax.core.Tracer):
+            return True
+        if not np.array_equal(np.asarray(x), np.asarray(self._x)):
+            raise ValueError(
+                "MassSeries: coordinates match the precomputed grid's shape "
+                f"{tuple(jnp.shape(x))} but not its values — the stored series "
+                "coefficients do not apply to this grid. Re-run set_grid/"
+                "set_deriv/set_hessian on the new coordinates (or reshape "
+                "off-grid points so the shapes differ and the exact fallback "
+                "is used)."
+            )
+        return True
 
     def _direct_kwargs(self, kwargs):
         """Full parameter set for exact evaluation off the precomputed grid."""

@@ -280,6 +280,8 @@ class LensSimulator:
         """Renders a subset of light components (convenience views; the
         reference TF substrate exposes these as ``simulate_source`` /
         ``simulate_lens_light`` / ``simulate_images``, tf/simulator.py:242-328)."""
+        import copy
+
         sub = gmodel.PhysicalModel.__new__(gmodel.PhysicalModel)
         sub.lenses = self.phys_model.lenses
         sub.lenses_constants = self.phys_model.lenses_constants
@@ -291,11 +293,15 @@ class LensSimulator:
         sub.source_light_constants = (
             self.phys_model.source_light_constants if source_light else []
         )
-        orig, self.phys_model = self.phys_model, sub
-        try:
-            flat = self._flat_light(params, no_deflection=no_deflection)
-        finally:
-            self.phys_model = orig
+        # Render through a shallow-copied view, never by mutating self: a
+        # traced function capturing this simulator concurrently must keep
+        # seeing the full model (re-entrancy). The view also disables the
+        # fused whole-model kernel — it renders all components and would
+        # ignore the subset selection.
+        view = copy.copy(self)
+        view.phys_model = sub
+        view._use_fused = False
+        flat = view._flat_light(params, no_deflection=no_deflection)
         return jnp.squeeze(self._postprocess(self._place(flat)))
 
     def simulate_source(self, params):

@@ -192,3 +192,47 @@ def test_smc_pixels_only_default_aux_and_segments(seq):
     assert np.isfinite(np.asarray(res.particles)).all()
     assert float(res.final_beta[0]) > 0.0
     assert int(res.num_stages) <= 3
+
+
+def test_svi_mean_field_ansatz(seq, demo_prior):
+    """full_rank=False (reference tf/inference.py:62-66 parity): diagonal
+    scale, d+d variational params, still usable as an HMC preconditioner."""
+    start = demo_prior.unconstrain(demo_prior.sample(jax.random.PRNGKey(1), 1))
+    q_z, losses = seq.SVI(start, optax.adam(1e-3), n_vi=4, num_steps=3,
+                          full_rank=False)
+    tril = np.asarray(q_z.scale_tril)
+    assert tril.shape == (demo_prior.d, demo_prior.d)
+    # strictly diagonal scale factor
+    np.testing.assert_allclose(tril, np.diag(np.diagonal(tril)))
+    assert np.all(np.diagonal(tril) > 0)
+    assert losses.shape == (3,)
+    # matrix init_scales contributes its diagonal
+    L0 = np.diag(np.linspace(0.1, 0.2, demo_prior.d)).astype(np.float32)
+    q_z2, _ = seq.SVI(start, optax.adam(0.0), n_vi=4, num_steps=2,
+                      init_scales=L0, full_rank=False)
+    np.testing.assert_allclose(
+        np.diagonal(np.asarray(q_z2.scale_tril)), np.diagonal(L0), rtol=1e-4
+    )
+
+
+def test_progress_callbacks_fire(seq, demo_prior):
+    """MAP/SVI/HMC live-progress hooks (reference tqdm parity)."""
+    from gigalens_tpu.prob.distributions import MultivariateNormalTriL
+
+    start = demo_prior.unconstrain(demo_prior.sample(jax.random.PRNGKey(0), 8))
+    calls = []
+    seq.MAP(optax.adam(1e-3), start=start, n_samples=8, num_steps=4,
+            segment_steps=2, progress=lambda s, v: calls.append((s, v)))
+    assert [s for s, _ in calls] == [2, 4]
+    assert all(np.isfinite(v) for _, v in calls)
+
+    calls = []
+    seq.SVI(start[:1], optax.adam(1e-3), n_vi=4, num_steps=4, segment_steps=2,
+            progress=lambda s, v: calls.append((s, v)))
+    assert [s for s, _ in calls] == [2, 4]
+
+    calls = []
+    q_z = MultivariateNormalTriL(start[0], jnp.eye(demo_prior.d) * 1e-3)
+    seq.HMC(q_z, n_hmc=8, num_burnin_steps=2, num_results=4, segment_steps=3,
+            progress=lambda s, v: calls.append((s, v)))
+    assert [s for s, _ in calls] == [3, 6]

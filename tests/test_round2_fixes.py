@@ -1,0 +1,200 @@
+"""Regression tests for the round-2 correctness fixes (VERDICT weak #4-8,
+ADVICE items): silent-correctness traps and numerics hardening."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gigalens_tpu import PhysicalModel, SimulatorConfig
+from gigalens_tpu.model import BackwardProbModel, ForwardProbModel
+from gigalens_tpu.prob import Prior
+from gigalens_tpu.prob import distributions as gld
+from gigalens_tpu.profiles.light.sersic import Sersic, SersicEllipse
+from gigalens_tpu.profiles.mass.dpie import DPIE
+from gigalens_tpu.profiles.mass.epl import EPL
+from gigalens_tpu.profiles.mass.series import MassSeries
+from gigalens_tpu.profiles.mass.shear import Shear
+from gigalens_tpu.simulator import LensSimulator
+
+
+# --------------------------------------------------------------- half_angle
+def test_half_angle_gradient_finite_at_origin():
+    """ADVICE: grad of half_angle at exactly e1=e2=0 must be finite (a user
+    starting MAP/SVI from the prior mean hits this point exactly)."""
+    from gigalens_tpu.ops.pallas._math import half_angle
+
+    def f(e):
+        cp, sp = half_angle(e[0], e[1])
+        return cp + sp
+
+    g = jax.grad(f)(jnp.zeros(2))
+    assert np.all(np.isfinite(np.asarray(g)))
+    # value is the identity rotation
+    cp, sp = half_angle(jnp.zeros(()), jnp.zeros(()))
+    assert np.allclose([cp, sp], [1.0, 0.0])
+
+
+# ------------------------------------------------------- TruncatedNormal tails
+def test_truncated_normal_far_tail_normalization():
+    """log(ndtr(b)-ndtr(a)) cancels for far-tail windows; the log_ndtr-based
+    mass must match scipy.stats.truncnorm in both tails and the bulk."""
+    from scipy import stats
+
+    cases = [
+        (0.0, 1.0, 8.0, 10.0),    # far right tail
+        (0.0, 1.0, -10.0, -8.0),  # far left tail
+        (0.0, 1.0, -1.0, 2.0),    # bulk
+        (3.0, 0.5, 5.5, 6.0),     # right tail, shifted/scaled
+    ]
+    for loc, scale, low, high in cases:
+        d = gld.TruncatedNormal(loc, scale, low, high)
+        x = np.linspace(low, high, 7)[1:-1]
+        a, b = (low - loc) / scale, (high - loc) / scale
+        want = stats.truncnorm.logpdf(x, a, b, loc=loc, scale=scale)
+        got = np.asarray(jax.vmap(d.log_prob)(jnp.asarray(x, jnp.float32)))
+        assert np.all(np.isfinite(got)), (loc, scale, low, high)
+        # float32 evaluation of the quadratic term limits the tolerance
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+
+
+# ----------------------------------------------------- Prior structure check
+def test_prior_flatten_rejects_wrong_structure():
+    prior = Prior(dict(a=gld.Normal(0, 1), b=dict(c=gld.Normal(0, 1))))
+    ok = dict(a=jnp.zeros(3), b=dict(c=jnp.zeros(3)))
+    assert np.asarray(prior.log_prob(ok)).shape == (3,)
+    # same leaf count, different nesting -> must raise, not misalign columns
+    bad = dict(a=dict(c=jnp.zeros(3)), b=jnp.zeros(3))
+    with pytest.raises(ValueError, match="structure"):
+        prior.log_prob(bad)
+    bad2 = dict(a=jnp.zeros(3), wrong_key=dict(c=jnp.zeros(3)))
+    with pytest.raises(ValueError, match="structure"):
+        prior.unconstrain(bad2)
+
+
+# ------------------------------------------------------- MassSeries grid guard
+def _series_fixture():
+    s = MassSeries(DPIE(), "r_cut", "theta_E", order=2)
+    x = jnp.linspace(-1, 1, 16)
+    y = jnp.linspace(-1, 1, 16)
+    s.set_constants(dict(r_cut=1.0, r_core=0.1, e1=0.05, e2=0.08,
+                         center_x=0.0, center_y=0.0))
+    s.set_grid(x, y)
+    s.set_deriv()
+    return s, x, y
+
+
+def test_series_same_shape_different_grid_raises():
+    s, x, y = _series_fixture()
+    fx, fy = s.deriv(x, y, r_cut=jnp.asarray([1.1]), theta_E=jnp.asarray([1.0]))
+    assert np.all(np.isfinite(np.asarray(fx)))
+    # same shape, different values: stale coefficients must NOT be applied
+    with pytest.raises(ValueError, match="not its values"):
+        s.deriv(x + 0.5, y, r_cut=jnp.asarray([1.1]), theta_E=jnp.asarray([1.0]))
+
+
+def test_series_different_shape_uses_direct_path():
+    s, x, y = _series_fixture()
+    # off-grid points with a different shape: exact fallback, no error
+    xs = jnp.asarray([0.3, -0.2, 0.7])
+    ys = jnp.asarray([0.1, 0.4, -0.6])
+    fx, fy = s.deriv(xs, ys, r_cut=jnp.asarray([1.0]), theta_E=jnp.asarray([1.0]))
+    ex, ey = DPIE().deriv(xs, ys, r_cut=1.0, r_core=0.1, e1=0.05, e2=0.08,
+                          center_x=0.0, center_y=0.0, theta_E=1.0)
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(ex), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(fy), np.asarray(ey), rtol=1e-5)
+
+
+# ------------------------------------------- _render_selected re-entrancy
+def test_render_selected_does_not_mutate_simulator(demo_prior, demo_physmodel):
+    sim = LensSimulator(demo_physmodel, SimulatorConfig(delta_pix=0.1, num_pix=20), bs=2)
+    params = demo_prior.sample(jax.random.PRNGKey(0), 2)
+    pm_before = sim.phys_model
+    src = sim.simulate_source(params)
+    imgs = sim.simulate_images(params)
+    ll = sim.simulate_lens_light(params)
+    assert sim.phys_model is pm_before
+    assert len(sim.phys_model.source_light) == 1
+    assert len(sim.phys_model.lens_light) == 1
+    # component renders sum to the full render (all light is additive and the
+    # PSF/pooling postprocess is linear)
+    full = sim.simulate(params)
+    np.testing.assert_allclose(
+        np.asarray(imgs + ll), np.asarray(full), rtol=1e-4, atol=1e-5
+    )
+    assert np.all(np.isfinite(np.asarray(src)))
+
+
+# ------------------------------------------- BackwardProbModel SMC target
+def test_backward_model_smc_pixels_target(demo_prior):
+    from gigalens_tpu.inference.smc import fit_smc
+
+    phys = PhysicalModel(
+        [EPL(18), Shear()],
+        [SersicEllipse(use_lstsq=True)],
+        [SersicEllipse(use_lstsq=True)],
+    )
+    # drop Ie from the prior: lstsq solves the linear amplitudes
+    tree = demo_prior.tree
+    import copy
+
+    tree2 = copy.deepcopy(tree)
+    for d in (tree2["lens_light"][0], tree2["source_light"][0]):
+        d.pop("Ie")
+    prior = Prior(tree2)
+    cfg = SimulatorConfig(delta_pix=0.1, num_pix=10)
+    obs = np.random.default_rng(0).normal(0, 0.1, (10, 10)).astype(np.float32)
+    prob = BackwardProbModel(prior, obs, background_rms=0.1, exp_time=100.0)
+    sim = LensSimulator(phys, cfg, bs=8)
+    res = fit_smc(
+        prob, sim, num_particles=8, num_ensembles=1, num_leapfrog_steps=2,
+        post_sampling_steps=3, max_stage=2, target="pixels", seed=0,
+    )
+    assert np.all(np.isfinite(np.asarray(res.particles)))
+    assert res.post_samples.shape == (3, 8, prior.d)
+
+    # a positions target on a Backward model must fail clearly, not with
+    # an AttributeError
+    with pytest.raises((ValueError, NotImplementedError)):
+        fit_smc(prob, sim, num_particles=8, max_stage=1, target="positions")
+
+
+# ------------------------------------------------- SMC post chunking shapes
+def test_smc_post_chain_segmented_equal_chunks(demo_prior, demo_physmodel):
+    from gigalens_tpu.inference.smc import fit_smc
+
+    cfg = SimulatorConfig(delta_pix=0.1, num_pix=10)
+    obs = np.zeros((10, 10), np.float32)
+    prob = ForwardProbModel(demo_prior, obs, background_rms=0.2, exp_time=100.0)
+    sim = LensSimulator(demo_physmodel, cfg, bs=8)
+    # segment_stages=1, max_sampling_per_stage=4 -> chunk 4; 10 steps -> 3
+    # equal chunks of 4 with the surplus discarded
+    res = fit_smc(
+        prob, sim, num_particles=8, num_leapfrog_steps=2,
+        post_sampling_steps=10, max_stage=2, segment_stages=1,
+        max_sampling_per_stage=4, seed=0,
+    )
+    assert res.post_samples.shape == (10, 8, demo_prior.d)
+    assert np.all(np.isfinite(np.asarray(res.post_samples)))
+
+
+# ------------------------------------------------- fill_triangular ordering
+def test_fill_triangular_documented_ordering():
+    """The flat SVI parameter layout is row-major tril (documented as NOT the
+    TFP packing order); this pins the documented behavior so saved SVI states
+    stay portable across versions."""
+    from gigalens_tpu.prob.bijectors import (
+        fill_triangular,
+        fill_triangular_inverse,
+    )
+
+    v = jnp.arange(1.0, 7.0)
+    m = np.asarray(fill_triangular(v, 3))
+    np.testing.assert_allclose(
+        m, [[1, 0, 0], [2, 3, 0], [4, 5, 6]]
+    )
+    np.testing.assert_allclose(np.asarray(fill_triangular_inverse(m)), v)
+    # round trip with batch dims
+    vb = jnp.reshape(jnp.arange(12.0), (2, 6))
+    np.testing.assert_allclose(
+        np.asarray(fill_triangular_inverse(fill_triangular(vb, 3))), vb
+    )

@@ -49,29 +49,57 @@ def test_sharded_map_runs_and_matches(demo_prior, demo_physmodel, small_sim_conf
     np.testing.assert_allclose(np.asarray(z_m), np.asarray(z_s), rtol=1e-4, atol=1e-5)
 
 
-def test_sharded_svi_runs(demo_prior, demo_physmodel, small_sim_config, mesh):
+def test_sharded_svi_matches_single_device(
+    demo_prior, demo_physmodel, small_sim_config, mesh
+):
+    """Same seeds, same steps: the only 8-dev difference is the gradient
+    all-reduce order, so the fitted surrogate must agree to float tolerance."""
     pm = ForwardProbModel(
         demo_prior, np.zeros((20, 20), np.float32), background_rms=0.1, exp_time=100
     )
-    seq = ModellingSequence(demo_physmodel, pm, small_sim_config, mesh=mesh)
     start = demo_prior.unconstrain(demo_prior.sample(jax.random.PRNGKey(1), 1))
-    q_z, losses = seq.SVI(start, optax.adam(1e-3), n_vi=16, num_steps=4)
-    assert np.isfinite(np.asarray(losses)).all()
+    seq_m = ModellingSequence(demo_physmodel, pm, small_sim_config, mesh=mesh)
+    q_m, loss_m = seq_m.SVI(start, optax.adam(1e-3), n_vi=16, num_steps=4)
+    single = default_mesh(jax.devices()[:1])
+    seq_s = ModellingSequence(demo_physmodel, pm, small_sim_config, mesh=single)
+    q_s, loss_s = seq_s.SVI(start, optax.adam(1e-3), n_vi=16, num_steps=4)
+    assert np.isfinite(np.asarray(loss_m)).all()
+    np.testing.assert_allclose(
+        np.asarray(loss_m), np.asarray(loss_s), rtol=1e-4, atol=1e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(q_m.mean()), np.asarray(q_s.mean()), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(q_m.scale_tril), np.asarray(q_s.scale_tril),
+        rtol=1e-3, atol=1e-5,
+    )
 
 
-def test_sharded_hmc_runs(demo_prior, demo_physmodel, small_sim_config, mesh):
+def test_sharded_hmc_matches_single_device(
+    demo_prior, demo_physmodel, small_sim_config, mesh
+):
+    """Deterministic threefry keys: 8-dev and 1-dev chains see identical
+    momenta/uniforms, so the sample streams must agree (cross-device
+    reduction order only perturbs the shared step size at float epsilon)."""
     from gigalens_tpu.prob.distributions import MultivariateNormalTriL
 
     pm = ForwardProbModel(
         demo_prior, np.zeros((20, 20), np.float32), background_rms=0.1, exp_time=100
     )
-    seq = ModellingSequence(demo_physmodel, pm, small_sim_config, mesh=mesh)
     d = demo_prior.d
     start = demo_prior.unconstrain(demo_prior.sample(jax.random.PRNGKey(1), 1))
     q_z = MultivariateNormalTriL(start[0], jnp.eye(d) * 1e-3)
-    res = seq.HMC(q_z, n_hmc=16, num_burnin_steps=3, num_results=4)
-    assert res.samples.shape == (4, 16, d)
-    assert np.isfinite(np.asarray(res.samples)).all()
+    seq_m = ModellingSequence(demo_physmodel, pm, small_sim_config, mesh=mesh)
+    res_m = seq_m.HMC(q_z, n_hmc=16, num_burnin_steps=3, num_results=4, seed=0)
+    single = default_mesh(jax.devices()[:1])
+    seq_s = ModellingSequence(demo_physmodel, pm, small_sim_config, mesh=single)
+    res_s = seq_s.HMC(q_z, n_hmc=16, num_burnin_steps=3, num_results=4, seed=0)
+    assert res_m.samples.shape == (4, 16, d)
+    assert np.isfinite(np.asarray(res_m.samples)).all()
+    np.testing.assert_allclose(
+        np.asarray(res_m.samples), np.asarray(res_s.samples), rtol=1e-4, atol=1e-4
+    )
 
 
 def test_round_to_multiple(mesh):
@@ -95,3 +123,20 @@ def test_sharded_smc_runs(demo_prior, demo_physmodel, small_sim_config, mesh):
                   post_sampling_steps=2, max_stage=2, seed=0,
                   segment_stages=1)
     assert np.isfinite(np.asarray(res.particles)).all()
+
+    # same run on a single device: identical keys, so the tempering
+    # schedule and particle stream must agree to float tolerance (the
+    # resampling gather is the only cross-device traffic)
+    single = default_mesh(jax.devices()[:1])
+    seq_s = ModellingSequence(demo_physmodel, pm, small_sim_config, mesh=single)
+    res_s = seq_s.SMC(num_particles=16, num_ensembles=1, num_leapfrog_steps=2,
+                      post_sampling_steps=2, max_stage=2, seed=0,
+                      segment_stages=1)
+    np.testing.assert_allclose(
+        np.asarray(res.final_beta), np.asarray(res_s.final_beta),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.particles), np.asarray(res_s.particles),
+        rtol=1e-4, atol=1e-4,
+    )
