@@ -29,23 +29,26 @@ class ModellingSequence:
 
     def _sim(self, bs: int, exact: bool = False) -> LensSimulator:
         """Phase simulator. ``exact=True`` (HMC/SMC) pins the auto PSF path to
-        an f32-exact convolution and disables the fused render: the fast DFT
-        matmul path runs single-pass bf16 on the MXU and carries ~0.3 nats of
-        likelihood noise — harmless to the stochastic optimizers, fatal to
-        Metropolis-Hastings acceptance (measured: leapfrog |dH| 0.2-0.6 under
-        bf16-DFT vs 0.02-0.08 under FFT at identical step sizes, which
-        collapses dual averaging). ``dft_hi`` (Precision.HIGHEST matmuls) is
-        f32-exact in absolute terms but measured ~2x rougher than FFT along
-        leapfrog trajectories (|dlogL| vs FFT 0.04-0.12 nats), which shrank
-        the adapted step size 0.143 -> 0.110 and cost 4x ESS on the benchmark
-        for only a 6% per-gradient saving — so the exact path stays FFT.
-        The fused Pallas render with FFT conv was also measured
-        (scripts/bench_hmc_fused.py): 1.5x faster per gradient (4.46 vs
-        6.58 ms at bs=50) and 12% faster in wall-clock, but its ~1-nat
-        deviation from the XLA render is rough at leapfrog scale — eps
-        0.160 -> 0.133, min ESS 9774 -> 6892, ESS/sec 151 -> 121 — so the
-        exact phase disables the fused render too.
-        Explicit sim_config choices are always respected."""
+        an f32-exact convolution: the fast DFT matmul path runs single-pass
+        bf16 on the MXU and carries ~0.3 nats of likelihood noise — harmless
+        to the stochastic optimizers, fatal to Metropolis-Hastings acceptance
+        (measured: leapfrog |dH| 0.2-0.6 under bf16-DFT vs 0.02-0.08 under
+        FFT at identical step sizes, which collapses dual averaging).
+        ``dft_hi`` (Precision.HIGHEST matmuls) is f32-exact in absolute terms
+        but measured ~2x rougher than FFT along leapfrog trajectories
+        (|dlogL| vs FFT 0.04-0.12 nats), which shrank the adapted step size
+        0.143 -> 0.110 and cost 4x ESS on the benchmark for only a 6%
+        per-gradient saving — so the exact path stays FFT.
+
+        The fused Pallas render (with the FFT conv) *is* allowed on the exact
+        path: a round-1 single-seed A/B attributed an ESS drop to it, but
+        min-ESS has ~2x seed-to-seed spread and the 3-seed rerun
+        (scripts/bench_hmc_ab_seeds.py, v5e) shows it matches or beats the
+        unfused path in ESS/sec at every chain count — median 107 vs 88.6
+        (100 vs 50 chains) with identical posterior quality, and its
+        per-gradient cost scales flat to 800 samples (64 us/chain vs the
+        unfused path's blow-up past 100). Explicit sim_config choices are
+        always respected."""
         cfg = self.sim_config
         if exact:
             import dataclasses
@@ -54,8 +57,6 @@ class ModellingSequence:
                 cfg,
                 psf_mode="fft" if (cfg.psf_mode is None and cfg.use_fft is None)
                 else cfg.psf_mode,
-                use_fused_render=False if cfg.use_fused_render is None
-                else cfg.use_fused_render,
             )
         return LensSimulator(self.phys_model, cfg, bs=bs)
 

@@ -76,9 +76,14 @@ def main():
     variants = [
         ("exact  c50", dict(psf_mode="fft", use_fused_render=False), 50, 750),
         ("exact c100", dict(psf_mode="fft", use_fused_render=False), 100, 375),
+        ("fused  c50", dict(psf_mode="fft", use_fused_render=True), 50, 750),
         ("fused c100", dict(psf_mode="fft", use_fused_render=True), 100, 375),
         ("fused c200", dict(psf_mode="fft", use_fused_render=True), 200, 188),
     ]
+    only = _os.environ.get("GIGALENS_AB_VARIANTS")
+    if only:
+        keys = [k.strip() for k in only.split(",")]
+        variants = [v for v in variants if any(k in v[0] for k in keys)]
     for name, kw, chains, results in variants:
         sim = LensSimulator(phys, dataclasses.replace(cfg, **kw), bs=chains)
         ess_s, essv = [], []
