@@ -108,7 +108,9 @@ n_map, s_map = (50, 120) if q else (500, 350)
 t0 = time.time()
 sched = optax.polynomial_schedule(-1e-2, -1e-2 / 3, 0.5, s_map)
 opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(sched))
-z_map = seq.MAP(opt, n_samples=n_map, num_steps=s_map, seed=0)
+z_map = seq.MAP(opt, n_samples=n_map, num_steps=s_map, seed=0,
+                segment_steps=max(s_map // 4, 1),
+                progress=lambda st, c: print(f"  MAP step {st}: min chi2 {c:.3f}"))
 sim_b = LensSimulator(phys_model, sim_config, bs=z_map.shape[0])
 lps, chi2 = jax.jit(lambda z: prob_model.log_prob(sim_b, z))(z_map)
 print(f"MAP   {time.time()-t0:6.1f}s  best reduced chi2 = {float(jnp.nanmin(chi2)):.3f}")
@@ -119,13 +121,17 @@ t0 = time.time()
 best = seq.best_map_start(z_map)
 sched = optax.polynomial_schedule(-1e-6, -3e-3, 2, s_vi // 5)
 opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(sched))
-q_z, elbo_hist = seq.SVI(best, opt, n_vi=n_vi, num_steps=s_vi, seed=1)
+q_z, elbo_hist = seq.SVI(best, opt, n_vi=n_vi, num_steps=s_vi, seed=1,
+                         segment_steps=max(s_vi // 4, 1),
+                         progress=lambda st, l: print(f"  SVI step {st}: -ELBO {l:.1f}"))
 print(f"SVI   {time.time()-t0:6.1f}s  ELBO {float(elbo_hist[0]):.1f} -> {float(elbo_hist[-1]):.1f}")
 
 # ---- HMC --------------------------------------------------------------------
 n_hmc, burn, res_n = (10, 50, 100) if q else (50, 250, 750)
 t0 = time.time()
-res = seq.HMC(q_z, n_hmc=n_hmc, num_burnin_steps=burn, num_results=res_n, seed=2)
+res = seq.HMC(q_z, n_hmc=n_hmc, num_burnin_steps=burn, num_results=res_n, seed=2,
+              segment_steps=max((burn + res_n) // 4, 1),
+              progress=lambda st, a: print(f"  HMC step {st}: accept {a:.2f}"))
 t_hmc = time.time() - t0
 rhat = np.asarray(potential_scale_reduction(res.samples))
 ess = np.asarray(effective_sample_size(res.samples))
