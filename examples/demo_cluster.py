@@ -24,6 +24,8 @@ parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--series", action="store_true",
                     help="use the jet Taylor-series member stack")
 parser.add_argument("--galaxies", type=int, default=20)
+parser.add_argument("--full", action="store_true",
+                    help="run the full MAP -> SVI -> HMC pipeline (longer)")
 args = parser.parse_args()
 
 import jax
@@ -120,10 +122,43 @@ prob_model = ForwardProbModel(
 seq = ModellingSequence(phys_model, prob_model, sim_config)
 
 t0 = time.time()
-sched = optax.polynomial_schedule(-1e-2, -1e-2 / 3, 0.5, 150)
+n_map, s_map = (128, 400) if args.full else (32, 150)
+sched = optax.polynomial_schedule(-1e-2, -1e-2 / 3, 0.5, s_map)
 opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(sched))
-z_map = seq.MAP(opt, n_samples=32, num_steps=150, seed=0)
-sim_b = LensSimulator(phys_model, sim_config, bs=32)
+z_map = seq.MAP(opt, n_samples=n_map, num_steps=s_map, seed=0,
+                segment_steps=max(s_map // 2, 1))
+sim_b = LensSimulator(phys_model, sim_config, bs=n_map)
 lps, chi2 = jax.jit(lambda z: prob_model.log_prob(sim_b, z))(z_map)
 print(f"cluster MAP ({'series' if args.series else 'direct'}, G={G}): "
       f"{time.time()-t0:.1f}s best red-chi2 {float(jnp.nanmin(chi2)):.3f}")
+
+if args.full:
+    # ---- SVI (Laplace-seeded) -> HMC, as in the galaxy-scale pipeline ----
+    from gigalens_tpu.utils import effective_sample_size, potential_scale_reduction
+
+    t0 = time.time()
+    best = seq.best_map_start(z_map)
+    L0 = np.asarray(seq.laplace_scale_tril(best))
+    sched = optax.polynomial_schedule(-1e-6, -3e-3, 2, 60)
+    opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(sched))
+    q_z, losses = seq.SVI(best, opt, n_vi=256, num_steps=300,
+                          init_scales=L0, seed=1, segment_steps=75)
+    jax.block_until_ready(losses)
+    print(f"cluster SVI: {time.time()-t0:.1f}s "
+          f"ELBO {float(losses[0]):.1f} -> {float(losses[-1]):.1f}")
+
+    t0 = time.time()
+    res = seq.HMC(q_z, n_hmc=50, num_burnin_steps=250, num_results=750,
+                  seed=2, segment_steps=250)
+    jax.block_until_ready(res.samples)
+    t_hmc = time.time() - t0
+    ess = np.asarray(effective_sample_size(res.samples))
+    rhat = np.asarray(potential_scale_reduction(res.samples))
+    sim_p = LensSimulator(phys_model, sim_config, bs=res.samples.shape[1])
+    _, chi2_post = jax.jit(lambda z: prob_model.log_prob(sim_p, z))(res.samples[-1])
+    print(
+        f"cluster HMC: {t_hmc:.1f}s accept "
+        f"{float(np.asarray(res.accept_rate)[-100:].mean()):.2f} "
+        f"min ESS {ess.min():.0f} max split-R-hat {rhat.max():.4f} "
+        f"posterior red-chi2 {float(jnp.mean(chi2_post)):.3f}"
+    )

@@ -302,7 +302,11 @@ def fit_smc(
         chunk = post_sampling_steps
         if segment_stages > 0:
             # bound each post dispatch by one tempering segment's move count
-            # (the budget segment_stages was tuned to)
+            # (the budget segment_stages was tuned to). A 4x multiplier was
+            # tried to shave per-dispatch overhead and faulted the axon
+            # tunnel at bs=1000 (a single ~100-step dispatch runs past the
+            # tunnel's execution limit) — prefer raising segment_stages,
+            # which scales both the tempering and post dispatch budgets.
             chunk = max(segment_stages * max_sampling_per_stage, 1)
         # Equal-length chunks so post_chunk compiles exactly once: ceil-divide
         # into n_chunks segments of identical size, run the few surplus steps,

@@ -62,7 +62,7 @@ def main():
     res = seq.SMC(start=None, num_particles=particles,
                   num_ensembles=ensembles,
                   num_leapfrog_steps=10, post_sampling_steps=100,
-                  max_stage=200, seed=1, segment_stages=1,
+                  max_stage=200, seed=1, segment_stages=5,
                   progress=lambda st, b: print(f"  stage {st} beta {b:.4f} t={time.time()-t0:.0f}s", flush=True))
     jax.block_until_ready(res.particles)
     dt = time.time() - t0
