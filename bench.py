@@ -179,7 +179,6 @@ def main():
     # >= 3 seeds at full scale: min-ESS has ~2x seed-to-seed spread
     # (BASELINE.md "Pallas DFT" section), so a single draw of ESS/sec is not
     # a stable headline number — report the per-seed list and the median.
-    t_hmc_first = None
     seed_rows = []
     for hmc_seed in cfgs["hmc_seeds"]:
         t0 = time.time()
@@ -191,8 +190,6 @@ def main():
         )
         jax.block_until_ready(res.samples)
         t_hmc = time.time() - t0
-        if t_hmc_first is None:
-            t_hmc_first = t_hmc
 
         ess = np.asarray(effective_sample_size(res.samples))
         rhat = np.asarray(potential_scale_reduction(res.samples))
@@ -279,11 +276,24 @@ def main():
             mfu["opt_grad_step"] = dict(
                 flops=fl, wall_s=dt_g, mfu=round(fl / dt_g / peak, 4))
 
-        # HMC-path gradient (exact simulator, HMC batch size)
+        # HMC-path gradient (exact simulator, HMC batch size). Like the
+        # opt_grad_step probe, flops must be counted on an unfused twin:
+        # the exact path keeps the fused Pallas render enabled, and XLA's
+        # cost_analysis cannot see inside Pallas custom calls, so counting
+        # on sim_h itself would omit essentially all render flops.
         sim_h = seq._sim(cfgs["hmc_n"], exact=True)
+        sim_hx = LensSimulator(
+            phys,
+            dataclasses.replace(sim_config, use_fused_render=False, psf_mode="fft"),
+            bs=cfgs["hmc_n"],
+        )
 
         def _vg_h(z):
             lp, _ = prob_model.log_prob(sim_h, z)
+            return jnp.sum(lp)
+
+        def _vg_hx(z):
+            lp, _ = prob_model.log_prob(sim_hx, z)
             return jnp.sum(lp)
 
         zh = prior.unconstrain(prior.sample(jax.random.PRNGKey(4), cfgs["hmc_n"]))
@@ -294,7 +304,7 @@ def main():
             out = gfn_h(zh)
         jax.block_until_ready(out)
         dt_h = (time.time() - t0) / n_rep
-        fl_h = _flops(jax.grad(_vg_h), zh)
+        fl_h = _flops(jax.grad(_vg_hx), zh)
         if fl_h:
             mfu["hmc_grad"] = dict(
                 flops=fl_h, wall_s=dt_h, mfu=round(fl_h / dt_h / peak, 4))

@@ -59,11 +59,14 @@ def fit_svi(
     d = prob_model.prior.d
     import numpy as np
 
-    scale0 = (
-        np.eye(d, dtype=np.float32) * float(np.asarray(init_scales))
-        if np.size(init_scales) == 1
-        else np.asarray(init_scales, np.float32)
-    )
+    # init_scales: scalar -> isotropic, (d,) vector -> diagonal (the
+    # canonical mean-field initializer), (d, d) matrix -> used as-is
+    # (e.g. laplace_scale_tril).
+    scale0 = np.asarray(init_scales, np.float32)
+    if scale0.size == 1:
+        scale0 = np.eye(d, dtype=np.float32) * float(scale0)
+    elif scale0.ndim == 1:
+        scale0 = np.diag(scale0)
     cov_bij = FillScaleTriL(d, diag_shift=1e-6)
 
     if full_rank:

@@ -72,7 +72,8 @@ def _col(p, k):
 
 def _sersic_light(x, y, R_s, n_s, e1, e2, cx, cy, Ie):
     cp, sp = _half_angle(e1, e2)
-    c = jnp.sqrt(e1**2 + e2**2)
+    # epsilon inside the sqrt: finite gradient at exactly zero ellipticity
+    c = jnp.sqrt(e1**2 + e2**2 + 1e-24)
     q = (1.0 - c) / (1.0 + c)
     dx, dy = x - cx, y - cy
     xt1 = (cp * dx + sp * dy) * jnp.sqrt(q)
@@ -95,7 +96,7 @@ def _tile_geom(p, x, y):
     e1, e2 = _col(p, 2), _col(p, 3)
     cx, cy = _col(p, 4), _col(p, 5)
     cp, sp = _half_angle(e1, e2)
-    c = jnp.minimum(jnp.sqrt(e1**2 + e2**2), 1.0)
+    c = jnp.minimum(jnp.sqrt(e1**2 + e2**2 + 1e-24), 1.0)
     q = (1.0 - c) / (1.0 + c)
     dx, dy = x - cx, y - cy
     xr = dx * cp + dy * sp
@@ -120,7 +121,7 @@ def _tile_out(p, x, y, ox, oy):
     g1, g2 = _col(p, 6), _col(p, 7)
 
     cp, sp = _half_angle(e1, e2)
-    c = jnp.minimum(jnp.sqrt(e1**2 + e2**2), 1.0)
+    c = jnp.minimum(jnp.sqrt(e1**2 + e2**2 + 1e-24), 1.0)
     q = (1.0 - c) / (1.0 + c)
     b = te * jnp.sqrt(q)
     t = gam - 1.0
@@ -225,8 +226,13 @@ def _prep(params, x, y):
     n_tiles = -(-P // PIX_BLK)
     Pp = n_tiles * PIX_BLK
     if Pp != P:
-        x = jnp.pad(x, (0, Pp - P))
-        y = jnp.pad(y, (0, Pp - P))
+        # Pad far from any plausible profile center, NOT at (0, 0): a light
+        # profile centered exactly on a padded pixel has R = 0, where the
+        # Sersic pow's derivative is infinite — and although the padded
+        # cotangents are zero, 0 * inf = NaN poisons the backward kernel's
+        # parameter reduction (prior-mean centers are exactly (0, 0)).
+        x = jnp.pad(x, (0, Pp - P), constant_values=1e6)
+        y = jnp.pad(y, (0, Pp - P), constant_values=1e6)
     return bs, bs_p, n_sblk, P, n_tiles, Pp, x.reshape(1, Pp), y.reshape(1, Pp), params
 
 

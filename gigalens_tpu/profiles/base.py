@@ -161,8 +161,18 @@ def hessian_rotate(f_xx, f_xy, f_yy, phi):
 
 
 def ellipticity_to_polar(e1, e2, e_max=0.9999):
-    """(e1, e2) -> (modulus e, axis ratio q, position angle phi)."""
-    phi = jnp.arctan2(e2, e1) / 2
-    e = jnp.minimum(jnp.sqrt(e1**2 + e2**2), e_max)
+    """(e1, e2) -> (modulus e, axis ratio q, position angle phi).
+
+    Hardened at exactly e1 = e2 = 0 (a MAP/SVI start from the prior mean
+    lands there): the raw ``sqrt`` has an infinite derivative at the origin
+    and ``arctan2``'s gradient is 0/0, so both are guarded — the epsilon
+    goes inside the sqrt, and the angle's arguments are swapped for the
+    constant (0, 1) in the degenerate region so phi = 0 with zero gradient.
+    """
+    degenerate = (e1 * e1 + e2 * e2) < 1e-24
+    phi = jnp.arctan2(
+        jnp.where(degenerate, 0.0, e2), jnp.where(degenerate, 1.0, e1)
+    ) / 2
+    e = jnp.minimum(jnp.sqrt(e1**2 + e2**2 + 1e-24), e_max)
     q = (1 - e) / (1 + e)
     return e, q, phi

@@ -14,9 +14,16 @@ from gigalens_tpu.profiles.base import LightProfile
 
 def _elliptical_radius(x, y, cx, cy, e1, e2):
     """Elliptical radius with |e|-preserving axis-ratio scaling (sqrt(q) in,
-    1/sqrt(q) cross), the lenstronomy SersicElliptic convention."""
-    phi = jnp.arctan2(e2, e1) / 2
-    c = jnp.sqrt(e1**2 + e2**2)
+    1/sqrt(q) cross), the lenstronomy SersicElliptic convention.
+
+    Guarded at e1 = e2 = 0 like :func:`..base.ellipticity_to_polar`: the
+    epsilon inside the sqrt and the degenerate-region angle substitution keep
+    gradients finite when optimization starts from zero ellipticity."""
+    degenerate = (e1 * e1 + e2 * e2) < 1e-24
+    phi = jnp.arctan2(
+        jnp.where(degenerate, 0.0, e2), jnp.where(degenerate, 1.0, e1)
+    ) / 2
+    c = jnp.sqrt(e1**2 + e2**2 + 1e-24)
     q = (1 - c) / (1 + c)
     dx, dy = x - cx, y - cy
     cos_phi, sin_phi = jnp.cos(phi), jnp.sin(phi)

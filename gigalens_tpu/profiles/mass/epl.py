@@ -122,6 +122,13 @@ def _omega_cs_bwd(niter, res, ct, unroll=None):
     """
     cos_t, sin_t, f, t = res
     ct_x, ct_y = ct
+    # f32 rounds f = (1-q)/(1+q) to exactly 0 at zero ellipticity, and the
+    # (n / f) parameter partial below would then produce inf * 0 = NaN
+    # (poisoning every gradient column of a MAP/SVI start from the prior
+    # mean). Floor it: a_n regenerated with f=1e-20 is ~0 for n >= 1, so
+    # g_f comes out 0 — consistent with the zero chain-rule factor de/de1
+    # at the guarded origin of ellipticity_to_polar/half_angle.
+    f = jnp.maximum(f, 1e-20)
     cos_2t = cos_t * cos_t - sin_t * sin_t
     sin_2t = 2.0 * cos_t * sin_t
 

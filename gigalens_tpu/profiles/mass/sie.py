@@ -26,7 +26,13 @@ class SIE(MassProfile):
 
         x, y = rotate(x - center_x, y - center_y, phi)
         psi = jnp.sqrt(q**2 * (s**2 + x**2) + y**2)
-        root = jnp.sqrt(1.0 - q**2)
+        # Floor 1 - q^2: at exactly e1 = e2 = 0 (a start from the prior
+        # mean) f32 rounds q to 1.0 and the raw sqrt gives root = 0, making
+        # b/root * arctan(0) = inf * 0 = NaN in the forward value itself.
+        # With the floor, arctan(root*u)/root = u + O(root^2 u^3) resolves
+        # to the SIS limit b*x/psi with ~1e-11 relative error, and the
+        # max() kills the (spurious) infinite dq branch of the gradient.
+        root = jnp.sqrt(jnp.maximum(1.0 - q**2, 1e-10))
         fx = b / root * jnp.arctan(root * x / (psi + s))
         fy = b / root * jnp.arctanh(root * y / (psi + q**2 * s))
         return rotate(fx, fy, -phi)

@@ -213,6 +213,20 @@ def test_svi_mean_field_ansatz(seq, demo_prior):
     np.testing.assert_allclose(
         np.diagonal(np.asarray(q_z2.scale_tril)), np.diagonal(L0), rtol=1e-4
     )
+    # a 1-D per-dimension scale vector — the canonical mean-field
+    # initializer — must work in both ansatzes (regression: used to raise
+    # "diag requires an array of at least two dimensions")
+    v0 = np.linspace(0.05, 0.3, demo_prior.d).astype(np.float32)
+    q_z3, _ = seq.SVI(start, optax.adam(0.0), n_vi=4, num_steps=2,
+                      init_scales=v0, full_rank=False)
+    np.testing.assert_allclose(
+        np.diagonal(np.asarray(q_z3.scale_tril)), v0, rtol=1e-4
+    )
+    q_z4, _ = seq.SVI(start, optax.adam(0.0), n_vi=4, num_steps=2,
+                      init_scales=v0, full_rank=True)
+    np.testing.assert_allclose(
+        np.diagonal(np.asarray(q_z4.scale_tril)), v0, rtol=1e-3
+    )
 
 
 def test_progress_callbacks_fire(seq, demo_prior):

@@ -198,3 +198,58 @@ def test_fill_triangular_documented_ordering():
     np.testing.assert_allclose(
         np.asarray(fill_triangular_inverse(fill_triangular(vb, 3))), vb
     )
+
+
+# ----------------------------------------- zero-ellipticity gradients (e2e)
+def test_zero_ellipticity_gradients_finite_end_to_end():
+    """The half_angle guard alone was not enough: every consumer of
+    sqrt(e1^2+e2^2) / arctan2(e2, e1) must also be guarded, or a MAP/SVI
+    start from the prior mean (z = 0 -> e1 = e2 = 0 exactly) still produces
+    NaN gradients. Checks the fused render kernel and each elliptical
+    profile through jax.grad."""
+    from gigalens_tpu.ops.pallas.fused_render import fused_render
+    from gigalens_tpu.profiles.light.sersic import SersicEllipse
+    from gigalens_tpu.profiles.mass.dpie import DPIE, DPIEP
+    from gigalens_tpu.profiles.mass.nfw import NFW_ELLIPSE
+    from gigalens_tpu.profiles.mass.sie import SIE
+
+    xs = jnp.asarray([0.3, -0.5, 0.8])
+    ys = jnp.asarray([0.2, 0.6, -0.4])
+
+    # fused render kernel (interpret mode), all ellipticities zero
+    p0 = jnp.asarray([[1.2, 2.0, 0.0, 0.0, 0.0, 0.0,   # EPL, e=0
+                       0.0, 0.0,                        # shear
+                       1.0, 4.0, 0.0, 0.0, 0.0, 0.0, 500.0,
+                       0.25, 1.5, 0.0, 0.0, 0.0, 0.0, 150.0]])
+    g = jax.grad(lambda p: jnp.sum(fused_render(p, xs, ys, 12, True)))(p0)
+    assert np.all(np.isfinite(np.asarray(g))), "fused render grad NaN at e=0"
+
+    def check(fn, params):
+        grads = jax.grad(
+            lambda pp: sum(jnp.sum(o) for o in jnp.atleast_1d(fn(**pp)))
+        )(params)
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(np.all(np.isfinite(np.asarray(l))) for l in flat), fn
+
+    check(lambda **kw: jnp.stack(EPL(10).deriv(xs, ys, **kw)),
+          dict(theta_E=jnp.float32(1.2), gamma=jnp.float32(2.0),
+               e1=jnp.float32(0.0), e2=jnp.float32(0.0),
+               center_x=jnp.float32(0.0), center_y=jnp.float32(0.0)))
+    check(lambda **kw: jnp.stack(SIE().deriv(xs, ys, **kw)),
+          dict(theta_E=jnp.float32(1.2), e1=jnp.float32(0.0),
+               e2=jnp.float32(0.0), center_x=jnp.float32(0.0),
+               center_y=jnp.float32(0.0)))
+    check(lambda **kw: jnp.stack(NFW_ELLIPSE().deriv(xs, ys, **kw)),
+          dict(Rs=jnp.float32(3.0), alpha_Rs=jnp.float32(1.0),
+               e1=jnp.float32(0.0), e2=jnp.float32(0.0),
+               center_x=jnp.float32(0.0), center_y=jnp.float32(0.0)))
+    check(lambda **kw: jnp.stack(DPIE().deriv(xs, ys, **kw)),
+          dict(theta_E=jnp.float32(1.0), r_core=jnp.float32(0.1),
+               r_cut=jnp.float32(2.0), e1=jnp.float32(0.0),
+               e2=jnp.float32(0.0), center_x=jnp.float32(0.0),
+               center_y=jnp.float32(0.0)))
+    check(lambda **kw: SersicEllipse().light(xs, ys, **kw),
+          dict(R_sersic=jnp.float32(1.0), n_sersic=jnp.float32(4.0),
+               e1=jnp.float32(0.0), e2=jnp.float32(0.0),
+               center_x=jnp.float32(0.0), center_y=jnp.float32(0.0),
+               Ie=jnp.float32(100.0)))
