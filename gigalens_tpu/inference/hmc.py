@@ -29,6 +29,7 @@ reductions used by adaptation.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -92,75 +93,36 @@ def _halton(n, base=2):
     return np.clip(seq, 0.05, 1.0).astype(np.float32)
 
 
-def sample_hmc(
+@functools.lru_cache(maxsize=16)
+def _hmc_programs(
     log_prob_fn,
-    z0,
-    key,
-    *,
-    step_size: float = 0.3,
-    num_leapfrog_steps: int = 3,
-    num_burnin_steps: int = 250,
-    num_results: int = 750,
-    num_adaptation_steps: Optional[int] = None,
-    momentum_covariance: Optional[jnp.ndarray] = None,
-    momentum_covariance_tril: Optional[jnp.ndarray] = None,
-    target_accept: float = 0.75,
-    accept_reduction: str = "mean",        # "mean" | "median"
-    trajectory_adaptation: str = "none",   # "none" | "chees"
-    max_leapfrog_steps: int = 30,
-    chees_lr: float = 0.025,
-    mass_adaptation: bool = True,
-    mesh=None,
-    segment_steps: int = 0,
-    progress=None,
+    n_chains,
+    d,
+    step_size,
+    num_leapfrog_steps,
+    num_adaptation_steps,
+    switch_t,
+    do_mass,
+    chees,
+    target_accept,
+    accept_reduction,
+    max_leapfrog_steps,
+    chees_lr,
+    mesh,
 ):
-    """Batched preconditioned HMC. ``z0``: (n_chains, d); ``log_prob_fn``
-    maps (n_chains, d) -> (n_chains,).
+    """Build (init_carry, run_segment) jitted programs for one HMC config.
 
-    ``progress``, if given, is called after every dispatched segment with
-    ``(steps_done, mean_accept_prob_of_segment)`` — live-feedback parity with
-    the reference TF substrate's ``ProgressBarReducer``
-    (``src/gigalens/tf/inference.py:166-169``).
-
-    The mass matrix is M = Sigma^{-1} where Sigma is the (VI) covariance,
-    given either as ``momentum_covariance`` or, preferably, by its Cholesky
-    factor ``momentum_covariance_tril`` (L with Sigma = L L^T). All
-    preconditioning is done through L — momentum sampling uses L^{-T} (one
-    triangular solve), kinetic energy is |L^T p|^2 / 2 and the leapfrog drift
-    is Sigma p — so an ill-conditioned Sigma is never inverted (float32-safe
-    even when VI has not fully converged).
-
-    ``mass_adaptation`` adds Stan-style windowed warmup: halfway through the
-    adaptation window the momentum covariance is re-estimated from the pooled
-    chain samples (shrunk toward the initial Sigma) and step-size adaptation
-    restarts — this rescues runs where the VI covariance overestimates some
-    direction, which otherwise collapses the step size for every direction."""
-    n_chains, d = z0.shape
-    if num_adaptation_steps is None:
-        num_adaptation_steps = int(0.8 * num_burnin_steps)
-    total_steps = num_burnin_steps + num_results
-    chees = trajectory_adaptation == "chees"
-    switch_t = num_adaptation_steps // 2 if mass_adaptation else -1
-    do_mass = mass_adaptation and num_adaptation_steps >= 20
-
-    @jax.jit  # jitted: eager linalg dispatch is unreliable on the axon backend
-    def _precond(tril):
-        m_inv = tril @ tril.T  # Sigma
-        # p = eps @ inv_l gives p_i = L^{-T} eps_i, i.e. p ~ N(0, Sigma^{-1}).
-        inv_l = jax.scipy.linalg.solve_triangular(
-            tril, jnp.eye(d, dtype=tril.dtype), lower=True
-        )
-        return m_inv, inv_l
-
-    if momentum_covariance_tril is not None:
-        tril = jnp.asarray(momentum_covariance_tril, z0.dtype)
-    elif momentum_covariance is not None:
-        tril = jax.jit(jnp.linalg.cholesky)(
-            jnp.asarray(momentum_covariance, z0.dtype)
-        )
-    else:
-        tril = jnp.eye(d, dtype=z0.dtype)
-    tril0 = tril
+    Memoized on the full static configuration (``log_prob_fn`` hashes by
+    identity — callers must pass a stable function object, see
+    ``_cached_log_prob_fn``). On the axon TPU backend every new jitted
+    closure is a full remote compile (the persistent compilation cache is
+    bypassed — measured: an identical program in a fresh process still
+    compiles for ~11 s) and both programs here are large (the render
+    gradient under a scan), so re-creating them per ``fit_hmc`` call made
+    every extra HMC seed pay ~25 s of recompiles. With the cache, repeat
+    fits at the same configuration reuse the compiled executables and run
+    at pure compute cost.
+    """
 
     def lp_and_grad(z):
         lp, vjp = jax.vjp(log_prob_fn, z)
@@ -187,8 +149,6 @@ def sample_hmc(
         p = p - 0.5 * eps * g  # undo the extra half step from the last body
         return z, p, lp, g
 
-    halton = jnp.asarray(_halton(total_steps)) if chees else jnp.ones(total_steps)
-
     def _chees_grad(z, z_new, p_new, accept_prob_c, m_inv):
         """ChEES criterion gradient estimate w.r.t. trajectory length."""
         zc = z - jnp.mean(z, axis=0, keepdims=True)
@@ -200,7 +160,7 @@ def sample_hmc(
         return jnp.sum(w * delta * proj) / jnp.maximum(jnp.sum(w), 1e-6)
 
     def step(carry, inp):
-        z, lp, grad, da, ch, t, tril, s1, s2, cnt, z_ref = carry
+        z, lp, grad, da, ch, t, tril, tril0, s1, s2, cnt, z_ref = carry
         key, h = inp
         k_mom, k_acc = jax.random.split(key)
 
@@ -304,10 +264,13 @@ def sample_hmc(
             tril, da, ch = jax.lax.cond(
                 t == switch_t, _switch, lambda args: args, (tril, da, ch)
             )
-        return (z, lp, grad, da, ch, t + 1, tril, s1, s2, cnt, z_ref), (z, jnp.mean(accept_prob_c))
+        return (
+            (z, lp, grad, da, ch, t + 1, tril, tril0, s1, s2, cnt, z_ref),
+            (z, jnp.mean(accept_prob_c)),
+        )
 
     @jax.jit
-    def init_carry(z0):
+    def init_carry(z0, tril0):
         lp0, grad0 = lp_and_grad(z0)
         da0 = _da_init(jnp.asarray(step_size, z0.dtype))
         ch0 = ChEESState(
@@ -316,16 +279,87 @@ def sample_hmc(
             jnp.zeros(()),
         )
         return (z0, lp0, grad0, da0, ch0, jnp.asarray(0),
-                tril0, jnp.zeros(d), jnp.zeros((d, d)), jnp.zeros(()),
+                tril0, tril0, jnp.zeros(d), jnp.zeros((d, d)), jnp.zeros(()),
                 jnp.mean(z0, axis=0))
 
     @jax.jit
     def run_segment(carry, keys, hs):
         return jax.lax.scan(step, carry, (keys, hs))
 
+    return init_carry, run_segment
+
+
+def sample_hmc(
+    log_prob_fn,
+    z0,
+    key,
+    *,
+    step_size: float = 0.3,
+    num_leapfrog_steps: int = 3,
+    num_burnin_steps: int = 250,
+    num_results: int = 750,
+    num_adaptation_steps: Optional[int] = None,
+    momentum_covariance: Optional[jnp.ndarray] = None,
+    momentum_covariance_tril: Optional[jnp.ndarray] = None,
+    target_accept: float = 0.75,
+    accept_reduction: str = "mean",        # "mean" | "median"
+    trajectory_adaptation: str = "none",   # "none" | "chees"
+    max_leapfrog_steps: int = 30,
+    chees_lr: float = 0.025,
+    mass_adaptation: bool = True,
+    mesh=None,
+    segment_steps: int = 0,
+    progress=None,
+):
+    """Batched preconditioned HMC. ``z0``: (n_chains, d); ``log_prob_fn``
+    maps (n_chains, d) -> (n_chains,).
+
+    ``progress``, if given, is called after every dispatched segment with
+    ``(steps_done, mean_accept_prob_of_segment)`` — live-feedback parity with
+    the reference TF substrate's ``ProgressBarReducer``
+    (``src/gigalens/tf/inference.py:166-169``).
+
+    The mass matrix is M = Sigma^{-1} where Sigma is the (VI) covariance,
+    given either as ``momentum_covariance`` or, preferably, by its Cholesky
+    factor ``momentum_covariance_tril`` (L with Sigma = L L^T). All
+    preconditioning is done through L — momentum sampling uses L^{-T} (one
+    triangular solve), kinetic energy is |L^T p|^2 / 2 and the leapfrog drift
+    is Sigma p — so an ill-conditioned Sigma is never inverted (float32-safe
+    even when VI has not fully converged).
+
+    ``mass_adaptation`` adds Stan-style windowed warmup: halfway through the
+    adaptation window the momentum covariance is re-estimated from the pooled
+    chain samples (shrunk toward the initial Sigma) and step-size adaptation
+    restarts — this rescues runs where the VI covariance overestimates some
+    direction, which otherwise collapses the step size for every direction."""
+    n_chains, d = z0.shape
+    if num_adaptation_steps is None:
+        num_adaptation_steps = int(0.8 * num_burnin_steps)
+    total_steps = num_burnin_steps + num_results
+    chees = trajectory_adaptation == "chees"
+    switch_t = num_adaptation_steps // 2 if mass_adaptation else -1
+    do_mass = mass_adaptation and num_adaptation_steps >= 20
+
+    if momentum_covariance_tril is not None:
+        tril = jnp.asarray(momentum_covariance_tril, z0.dtype)
+    elif momentum_covariance is not None:
+        tril = jax.jit(jnp.linalg.cholesky)(
+            jnp.asarray(momentum_covariance, z0.dtype)
+        )
+    else:
+        tril = jnp.eye(d, dtype=z0.dtype)
+    tril0 = tril
+
+    init_carry, run_segment = _hmc_programs(
+        log_prob_fn, n_chains, d, float(step_size), num_leapfrog_steps,
+        num_adaptation_steps, switch_t, do_mass, chees, target_accept,
+        accept_reduction, max_leapfrog_steps, chees_lr, mesh,
+    )
+
+    halton = jnp.asarray(_halton(total_steps)) if chees else jnp.ones(total_steps)
     keys = jax.random.split(key, total_steps)
     n_seg = segment_steps if segment_steps > 0 else total_steps
-    carry = init_carry(z0)
+    carry = init_carry(z0, tril0)
     zs_parts, acc_parts = [], []
     for lo in range(0, total_steps, n_seg):
         hi = min(lo + n_seg, total_steps)
@@ -335,12 +369,24 @@ def sample_hmc(
         if progress is not None:
             jax.block_until_ready(acc)
             progress(hi, float(jnp.mean(acc)))
-    zf, _, _, da, ch, _, _, _, _, _, _ = carry
+    zf, _, _, da, ch, _, _, _, _, _, _, _ = carry
     zs = jnp.concatenate(zs_parts)
     acc = jnp.concatenate(acc_parts)
     final_eps = jnp.exp(da.log_eps_bar)
     final_t = jnp.exp(ch.log_t) if chees else num_leapfrog_steps * final_eps
     return HMCResult(zs[num_burnin_steps:], acc, final_eps, zf, final_t)
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_log_prob_fn(prob_model, simulator):
+    """Stable (identity-keyed) posterior closure, so repeat ``fit_hmc`` calls
+    with the same model + simulator hit the ``_hmc_programs`` cache instead
+    of recompiling (see that factory's docstring)."""
+
+    def log_prob_fn(z):
+        return prob_model.log_prob(simulator, z)[0]
+
+    return log_prob_fn
 
 
 def fit_hmc(
@@ -385,11 +431,8 @@ def fit_hmc(
     if mesh is not None and mesh.size > 1:
         z0 = pmesh.shard_samples(z0, mesh)
 
-    def log_prob_fn(z):
-        return prob_model.log_prob(simulator, z)[0]
-
     return sample_hmc(
-        log_prob_fn,
+        _cached_log_prob_fn(prob_model, simulator),
         z0,
         k_chain,
         step_size=init_eps,

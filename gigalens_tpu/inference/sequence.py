@@ -26,6 +26,11 @@ class ModellingSequence:
         self.prob_model = prob_model
         self.sim_config = sim_config
         self.mesh = mesh if mesh is not None else pmesh.default_mesh()
+        # memoized per (bs, exact): a stable simulator object lets repeat
+        # phase calls (e.g. multi-seed HMC) reuse compiled programs instead
+        # of recompiling — on the axon backend every new closure is a full
+        # remote compile (see inference/hmc.py::_hmc_programs)
+        self._sims = {}
 
     def _sim(self, bs: int, exact: bool = False) -> LensSimulator:
         """Phase simulator. ``exact=True`` (HMC/SMC) pins the auto PSF path to
@@ -49,6 +54,8 @@ class ModellingSequence:
         per-gradient cost scales flat to 800 samples (64 us/chain vs the
         unfused path's blow-up past 100). Explicit sim_config choices are
         always respected."""
+        if (bs, exact) in self._sims:
+            return self._sims[(bs, exact)]
         cfg = self.sim_config
         if exact:
             import dataclasses
@@ -58,7 +65,9 @@ class ModellingSequence:
                 psf_mode="fft" if (cfg.psf_mode is None and cfg.use_fft is None)
                 else cfg.psf_mode,
             )
-        return LensSimulator(self.phys_model, cfg, bs=bs)
+        sim = LensSimulator(self.phys_model, cfg, bs=bs)
+        self._sims[(bs, exact)] = sim
+        return sim
 
     def MAP(
         self,
