@@ -163,7 +163,8 @@ def main():
     # budget ~5x at equal-or-better preconditioner quality
     t0 = time.time()
     best = z_map[jnp.argmax(lps)][None, :]
-    L0 = seq.laplace_scale_tril(best)
+    laplace_method = os.environ.get("GIGALENS_LAPLACE_METHOD", "fd")
+    L0 = seq.laplace_scale_tril(best, method=laplace_method)
     jax.block_until_ready(L0)
     log(f"laplace init: {time.time()-t0:.1f}s")
     schedule = optax.polynomial_schedule(-1e-6, -3e-3, 2, max(cfgs["vi_steps"] // 5, 1))

@@ -100,21 +100,46 @@ class ModellingSequence:
         sim = self._sim(z.shape[0])
         return best_start(self.prob_model, sim, z)
 
-    def laplace_scale_tril(self, z_best):
+    def laplace_scale_tril(self, z_best, method: str = "fd"):
         """chol of the Laplace covariance at the MAP — the recommended
-        ``init_scales`` for SVI (and a robust HMC preconditioner on its own)."""
+        ``init_scales`` for SVI (and a robust HMC preconditioner on its own).
+
+        The default ``method="fd"`` (central differences of the gradient,
+        one bs=2d batch) runs on the host CPU backend: the computation is
+        tiny (d+d gradient rows), so wall time is all program compilation,
+        and on the axon TPU backend every program is a fresh multi-second
+        remote compile while the CPU compiles locally — measured 7.4 s
+        (CPU fd) vs 26 s (TPU exact) on the benchmark scene at d=22 for a
+        scale_tril agreeing to ~5%. ``method="exact"`` keeps the
+        reverse-over-reverse AD Hessian on the default backend."""
         import dataclasses
+
+        import numpy as np
 
         from gigalens_tpu.inference.map import laplace_scale_tril
 
-        # second-order AD cannot cross the fused render's or the Pallas DFT
-        # conv's custom VJP; pin the fft conv (linear jnp.fft primitives,
-        # differentiable to any order) — bs=1, cost is irrelevant here
+        # second-order AD (and the FD gradient batch) cannot cross the fused
+        # render's or the Pallas DFT conv's custom VJP on non-default
+        # backends; pin the fft conv (linear jnp.fft primitives,
+        # differentiable to any order) — cost is irrelevant here
         cfg = dataclasses.replace(
             self.sim_config, use_fused_render=False, psf_mode="fft"
         )
+        d = int(np.asarray(z_best).size)
+        if method == "fd":
+            cpus = jax.devices("cpu")
+            with jax.default_device(cpus[0]):
+                sim = LensSimulator(self.phys_model, cfg, bs=2 * d)
+                L = laplace_scale_tril(
+                    self.prob_model, sim,
+                    jax.device_put(np.asarray(z_best), cpus[0]),
+                    method="fd",
+                )
+            # hand back host data so downstream use re-commits to the
+            # session's default (TPU) backend
+            return np.asarray(L)
         sim = LensSimulator(self.phys_model, cfg, bs=1)
-        return laplace_scale_tril(self.prob_model, sim, z_best)
+        return laplace_scale_tril(self.prob_model, sim, z_best, method="exact")
 
     def SVI(
         self,

@@ -253,3 +253,24 @@ def test_zero_ellipticity_gradients_finite_end_to_end():
                e1=jnp.float32(0.0), e2=jnp.float32(0.0),
                center_x=jnp.float32(0.0), center_y=jnp.float32(0.0),
                Ie=jnp.float32(100.0)))
+
+
+# --------------------------------------------------- Laplace FD vs exact
+def test_laplace_fd_matches_exact(demo_prior, demo_physmodel, small_sim_config):
+    """The FD-gradient Laplace Hessian (default, single first-order program
+    on the host CPU) must reproduce the exact reverse-over-reverse
+    scale_tril closely enough to serve as the same SVI initializer."""
+    from gigalens_tpu.inference import ModellingSequence
+
+    prior = demo_prior
+    obs = np.zeros((20, 20), np.float32)
+    pm = ForwardProbModel(prior, obs, background_rms=0.1, exp_time=100.0)
+    seq = ModellingSequence(demo_physmodel, pm, small_sim_config)
+    start = prior.unconstrain(prior.sample(jax.random.PRNGKey(3), 1))
+    L_fd = np.asarray(seq.laplace_scale_tril(start, method="fd"))
+    L_ex = np.asarray(seq.laplace_scale_tril(start, method="exact"))
+    assert np.all(np.isfinite(L_fd))
+    rel = np.linalg.norm(L_fd - L_ex) / np.linalg.norm(L_ex)
+    assert rel < 0.15, f"FD laplace diverges from exact: rel fro {rel:.3f}"
+    dr = np.diag(L_fd) / np.diag(L_ex)
+    assert np.all(dr > 0.7) and np.all(dr < 1.4)
