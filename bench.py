@@ -227,17 +227,22 @@ def main():
     # render math is f32 on the VPU, whose peak is far lower — so this MFU is
     # a conservative lower bound against the chip's best case).
     peak = float(os.environ.get("GIGALENS_PEAK_FLOPS", 197e12))
+    # v5e HBM peak ~819 GB/s; this workload is elementwise-heavy so the
+    # bandwidth roofline, not the MXU flops roofline, is the relevant ceiling
+    peak_bw = float(os.environ.get("GIGALENS_PEAK_BYTES_PER_S", 819e9))
 
-    def _flops(fn, *args):
+    def _cost(fn, *args):
+        """(flops, bytes_accessed) from XLA's static cost model, or Nones."""
         try:
             c = jax.jit(fn).lower(*args).compile()
             ca = c.cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0]
-            return float(ca.get("flops", 0.0)) or None
+            return (float(ca.get("flops", 0.0)) or None,
+                    float(ca.get("bytes accessed", 0.0)) or None)
         except Exception as e:
             log(f"cost_analysis unavailable: {e}")
-            return None
+            return None, None
 
     mfu = {}
     try:
@@ -272,10 +277,15 @@ def main():
             out = gfn(zb)
         jax.block_until_ready(out)
         dt_g = (time.time() - t0) / n_rep
-        fl = _flops(jax.grad(_vg_x), zb)
+        fl, by = _cost(jax.grad(_vg_x), zb)
         if fl:
             mfu["opt_grad_step"] = dict(
                 flops=fl, wall_s=dt_g, mfu=round(fl / dt_g / peak, 4))
+            if by:
+                # algorithmic bytes of the unfused twin over the production
+                # path's wall: >1 would mean the fused path beats what a
+                # bandwidth-bound unfused program could ever do
+                mfu["opt_grad_step"]["bw_frac"] = round(by / dt_g / peak_bw, 4)
 
         # HMC-path gradient (exact simulator, HMC batch size). Like the
         # opt_grad_step probe, flops must be counted on an unfused twin:
@@ -305,10 +315,12 @@ def main():
             out = gfn_h(zh)
         jax.block_until_ready(out)
         dt_h = (time.time() - t0) / n_rep
-        fl_h = _flops(jax.grad(_vg_hx), zh)
+        fl_h, by_h = _cost(jax.grad(_vg_hx), zh)
         if fl_h:
             mfu["hmc_grad"] = dict(
                 flops=fl_h, wall_s=dt_h, mfu=round(fl_h / dt_h / peak, 4))
+            if by_h:
+                mfu["hmc_grad"]["bw_frac"] = round(by_h / dt_h / peak_bw, 4)
     except Exception as e:
         log(f"MFU probe failed: {e}")
 
@@ -334,6 +346,7 @@ def main():
         "accept_rate": round(accept, 3),
         "mfu": mfu,
         "peak_flops": peak,
+        "peak_bytes_per_s": peak_bw,
         "scale": scale,
         "device": str(jax.devices()[0]),
     }))
