@@ -146,10 +146,14 @@ def main():
     t0 = time.time()
     schedule = optax.polynomial_schedule(-1e-2, -1e-2 / 3, 0.5, cfgs["map_steps"])
     opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(schedule))
-    # segment long scans: the axon tunnel kills single device executions that
-    # run for more than a few minutes
+    # one dispatch per phase: the axon tunnel charges ~1.5 s for the first
+    # dispatch of a program at each new call site (scripts/bench_svi_segments
+    # measured 300 SVI steps at 23.9 s with 10 segment dispatches vs 12.6 s
+    # with one, steady-state 8.7 s either way), so segmenting a phase that
+    # fits comfortably under the tunnel's multi-minute execution cap only
+    # adds overhead
     z_map = seq.MAP(opt, n_samples=cfgs["map_n"], num_steps=cfgs["map_steps"],
-                    seed=0, segment_steps=max(cfgs["map_steps"] // 2, 1))
+                    seed=0)
     jax.block_until_ready(z_map)
     t_map = time.time() - t0
     sim_b = LensSimulator(phys, sim_config, bs=z_map.shape[0])
@@ -170,8 +174,7 @@ def main():
     schedule = optax.polynomial_schedule(-1e-6, -3e-3, 2, max(cfgs["vi_steps"] // 5, 1))
     opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(schedule))
     q_z, losses = seq.SVI(best, opt, n_vi=cfgs["vi_n"], num_steps=cfgs["vi_steps"],
-                          init_scales=np.asarray(L0),
-                          seed=1, segment_steps=max(cfgs["vi_steps"] // 10, 1))
+                          init_scales=np.asarray(L0), seed=1)
     jax.block_until_ready(losses)
     t_svi = time.time() - t0
     log(f"SVI: {t_svi:.1f}s elbo {float(losses[0]):.1f} -> {float(losses[-1]):.1f}")
@@ -187,7 +190,6 @@ def main():
             q_z, n_hmc=cfgs["hmc_n"],
             num_burnin_steps=cfgs["burnin"], num_results=cfgs["results"],
             seed=hmc_seed,
-            segment_steps=max((cfgs["burnin"] + cfgs["results"]) // 4, 1),
         )
         jax.block_until_ready(res.samples)
         t_hmc = time.time() - t0
