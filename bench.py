@@ -121,7 +121,20 @@ def main():
         g = np.exp(-((np.arange(25) - 12) ** 2 + (np.arange(25)[:, None] - 12) ** 2) / 8.0)
         psf = (g / g.sum()).astype(np.float32)
 
-    phys = PhysicalModel([EPL(50), Shear()], [SersicEllipse()], [SersicEllipse()])
+    # EPL series depth: the reference demo pins niter=50, but its own TF
+    # substrate picks the depth adaptively from the convergence bound
+    # log(tol)/log(f)+2 (tf/profiles/mass/epl.py:37-54). For this scene's
+    # prior (|e| <= ~0.4 at 4 sigma -> q >= 0.43, series ratio f <= 0.4),
+    # f32 convergence is reached well before 50: scripts/bench_epl_niter.py
+    # measured niter=18 and 30 BITWISE-identical in logL and gradient to
+    # niter=50 on prior draws (truncated terms fall below f32 epsilon), with
+    # the gradient ~15% cheaper. recommended_niter(0.43, 1e-8) = 22 keeps a
+    # margin. GIGALENS_EPL_NITER=50 restores the pinned depth.
+    niter = int(os.environ.get("GIGALENS_EPL_NITER", 0)) or EPL.recommended_niter(
+        q_min=0.43, tol=1e-8
+    )
+    log(f"EPL niter={niter}")
+    phys = PhysicalModel([EPL(niter), Shear()], [SersicEllipse()], [SersicEllipse()])
     sim_config = SimulatorConfig(
         delta_pix=0.065, num_pix=cfgs["num_pix"], supersample=2, kernel=psf
     )
