@@ -43,7 +43,11 @@ def main():
     ensembles = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 
     prior, _, cfg, _, _ = _demo_setup(num_pix=80, bs=16, psf_size=25)
-    phys = PhysicalModel([EPL(50), Shear()], [SersicEllipse()], [SersicEllipse()])
+    # adaptive series depth, same rule + bitwise-equality evidence as bench.py
+    niter = int(_os.environ.get("GIGALENS_EPL_NITER", 0)) or EPL.recommended_niter(
+        q_min=0.43, tol=1e-8
+    )
+    phys = PhysicalModel([EPL(niter), Shear()], [SersicEllipse()], [SersicEllipse()])
     psf_path = "/root/reference/src/gigalens/assets/psf.npy"
     if _os.path.exists(psf_path):
         cfg = dataclasses.replace(cfg, kernel=np.load(psf_path).astype(np.float32))
