@@ -1,4 +1,9 @@
-from gigalens_tpu.inference.hmc import HMCResult, fit_hmc, sample_hmc
+from gigalens_tpu.inference.hmc import (
+    HMCResult,
+    clear_program_caches,
+    fit_hmc,
+    sample_hmc,
+)
 from gigalens_tpu.inference.map import best_start, fit_map
 from gigalens_tpu.inference.sequence import ModellingSequence
 from gigalens_tpu.inference.smc import SMCResult, fit_smc
@@ -14,4 +19,5 @@ __all__ = [
     "HMCResult",
     "fit_smc",
     "SMCResult",
+    "clear_program_caches",
 ]

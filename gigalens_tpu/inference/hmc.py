@@ -377,16 +377,39 @@ def sample_hmc(
     return HMCResult(zs[num_burnin_steps:], acc, final_eps, zf, final_t)
 
 
-@functools.lru_cache(maxsize=64)
-def _cached_log_prob_fn(prob_model, simulator):
-    """Stable (identity-keyed) posterior closure, so repeat ``fit_hmc`` calls
-    with the same model + simulator hit the ``_hmc_programs`` cache instead
-    of recompiling (see that factory's docstring)."""
+@functools.lru_cache(maxsize=8)
+def _cached_log_prob_fn_impl(prob_model, pm_version, simulator, sim_version):
+    # pm_version/sim_version participate only in the cache key: rebinding an
+    # attribute on either object bumps its counter (model.VersionedAttrs),
+    # so a mutated model/simulator gets a fresh closure -> fresh programs
+    # instead of silently reusing executables with stale baked-in data
+    del pm_version, sim_version
 
     def log_prob_fn(z):
         return prob_model.log_prob(simulator, z)[0]
 
     return log_prob_fn
+
+
+def _cached_log_prob_fn(prob_model, simulator):
+    """Stable posterior closure keyed on (identity, attribute-version) of the
+    model and simulator, so repeat ``fit_hmc`` calls with the same objects hit
+    the ``_hmc_programs`` cache instead of recompiling (see that factory's
+    docstring) while attribute rebinds correctly invalidate it."""
+    return _cached_log_prob_fn_impl(
+        prob_model, getattr(prob_model, "_version", 0),
+        simulator, getattr(simulator, "_version", 0),
+    )
+
+
+def clear_program_caches():
+    """Drop all cached posterior closures and compiled HMC programs.
+
+    The caches hold strong references to up to 8 (model, simulator) pairs and
+    16 compiled program sets (device buffers included); survey-style loops
+    fitting many scenes can call this between scenes to release them."""
+    _cached_log_prob_fn_impl.cache_clear()
+    _hmc_programs.cache_clear()
 
 
 def fit_hmc(

@@ -54,8 +54,16 @@ class ModellingSequence:
         per-gradient cost scales flat to 800 samples (64 us/chain vs the
         unfused path's blow-up past 100). Explicit sim_config choices are
         always respected."""
-        if (bs, exact) in self._sims:
-            return self._sims[(bs, exact)]
+        # memo hit requires the SAME config/model objects (identity, plus the
+        # model's attribute version): rebinding seq.sim_config or
+        # seq.phys_model (or an attribute on the model) after a phase call
+        # must not silently reuse a simulator built from the old
+        # configuration. The value pins the keyed objects so a hit can
+        # verify identity (no id-recycling false positives).
+        key = (bs, exact, getattr(self.phys_model, "_version", 0))
+        hit = self._sims.get(key)
+        if hit is not None and hit[0] is self.sim_config and hit[1] is self.phys_model:
+            return hit[2]
         cfg = self.sim_config
         if exact:
             import dataclasses
@@ -66,7 +74,7 @@ class ModellingSequence:
                 else cfg.psf_mode,
             )
         sim = LensSimulator(self.phys_model, cfg, bs=bs)
-        self._sims[(bs, exact)] = sim
+        self._sims[key] = (self.sim_config, self.phys_model, sim)
         return sim
 
     def MAP(

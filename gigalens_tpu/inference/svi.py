@@ -85,7 +85,13 @@ def fit_svi(
         @jax.jit
         def _init(start, scale0):
             start = jnp.reshape(start, (d,))
-            diag0 = jnp.maximum(jnp.abs(jnp.diagonal(scale0)), 1e-8)
+            # marginal stddevs sqrt(diag(L L^T)) = row norms of L — NOT
+            # |diag(L)|, which underestimates dimensions whose scale is
+            # carried by off-diagonal Cholesky entries (correlated Laplace
+            # factors); identical for diagonal/vector init_scales
+            diag0 = jnp.maximum(
+                jnp.sqrt(jnp.sum(scale0**2, axis=-1)), 1e-8
+            )
             return jnp.concatenate([start, jnp.log(diag0)], axis=0)
 
         def unpack(qz_params):

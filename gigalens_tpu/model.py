@@ -30,7 +30,23 @@ from gigalens_tpu.profiles.base import LightProfile, MassProfile
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
-class PhysicalModel:
+class VersionedAttrs:
+    """Bumps ``self._version`` on every attribute rebind.
+
+    The inference drivers cache compiled programs keyed on
+    ``(object identity, _version)`` (``inference/hmc.py::_cached_log_prob_fn``,
+    ``ModellingSequence._sim``), so rebinding an attribute between fits —
+    e.g. ``pm.observed_image = new_img`` — invalidates the cached posterior
+    instead of silently sampling against the stale baked-in data. In-place
+    mutation of an attribute's NumPy buffer is not detected: treat attribute
+    values as immutable (replace, don't edit)."""
+
+    def __setattr__(self, name, value):
+        object.__setattr__(self, name, value)
+        object.__setattr__(self, "_version", getattr(self, "_version", 0) + 1)
+
+
+class PhysicalModel(VersionedAttrs):
     """Deflector + light profile lists with optional fixed constants.
 
     Constants are per-profile dicts of parameters excluded from inference
@@ -61,7 +77,7 @@ class PhysicalModel:
         self.source_light_constants = _conv(source_light_constants, source_light)
 
 
-class ForwardProbModel:
+class ForwardProbModel(VersionedAttrs):
     """Forward-modeled likelihood over pixels and/or multiple-image positions."""
 
     def __init__(
@@ -219,7 +235,7 @@ class ForwardProbModel:
         return _Bij()
 
 
-class BackwardProbModel:
+class BackwardProbModel(VersionedAttrs):
     """Likelihood with observed-image noise and lstsq linear amplitudes."""
 
     def __init__(self, prior: Prior, observed_image, background_rms, exp_time):

@@ -143,11 +143,19 @@ class TruncatedNormal(Distribution):
     def sample(self, key, sample_shape=()):
         shape = tuple(sample_shape) + self.event_shape
         a, b = self._alpha_beta()
-        fa, fb = ndtr(a), ndtr(b)
+        # Mirror right-tail windows (a > 0) into the left tail where ndtr
+        # does not saturate (the same construction as _log_gauss_mass): in
+        # float32 ndtr(8) == ndtr(10) == 1.0 exactly, so the naive
+        # inverse-CDF collapses every draw of a far right-tail truncation
+        # to `high`. Left-tail ndtr values are small but fully precise.
+        right = a > 0
+        a_, b_ = jnp.where(right, -b, a), jnp.where(right, -a, b)
+        fa, fb = ndtr(a_), ndtr(b_)
         u = jax.random.uniform(
             key, shape, self.loc.dtype, minval=1e-7, maxval=1.0 - 1e-7
         )
-        x = self.loc + self.scale * ndtri(fa + u * (fb - fa))
+        z = ndtri(fa + u * (fb - fa))
+        x = self.loc + self.scale * jnp.where(right, -z, z)
         return jnp.clip(x, self.low, self.high)
 
     @staticmethod

@@ -87,6 +87,7 @@ class MassSeries(MassProfile):
         self._x = self._y = None
         self._deriv_coefs = None   # (order+1, 2, npix)
         self._hessian_coefs = None  # (order+1, 3, npix): xx, xy, yy
+        self._warned_traced_grid = False
 
     # ----------------------------------------------------------- state API
     @property
@@ -168,9 +169,11 @@ class MassSeries(MassProfile):
         multiple-image centroids). Shape match with *different values* is
         almost certainly a stale-coefficient bug (same-size grid at a
         different supersampling or region) and raises rather than silently
-        returning wrong deflections. Traced x with a matching shape cannot
-        be value-checked and is trusted (the simulator passes its grid as a
-        closure constant, so the common paths are all concrete here).
+        returning wrong deflections. Traced x cannot be value-checked, so it
+        falls back to exact evaluation (correct, just without the series
+        speedup) — the simulator passes its grid as a closure constant, so
+        the fast path stays concrete; keep the grid out of jit arguments to
+        use the series.
         """
         if self._x is None:
             return False
@@ -179,7 +182,18 @@ class MassSeries(MassProfile):
         if tuple(jnp.shape(x)) != tuple(jnp.shape(self._x)):
             return False
         if isinstance(x, jax.core.Tracer):
-            return True
+            if not self._warned_traced_grid:
+                self._warned_traced_grid = True
+                import warnings
+
+                warnings.warn(
+                    "MassSeries: coordinates are traced, so they cannot be "
+                    "matched against the precomputed grid; evaluating the "
+                    "underlying profile exactly instead of the series. Pass "
+                    "the grid as a closure constant (not a jit argument) to "
+                    "use the precomputed coefficients."
+                )
+            return False
         if not np.array_equal(np.asarray(x), np.asarray(self._x)):
             raise ValueError(
                 "MassSeries: coordinates match the precomputed grid's shape "

@@ -38,7 +38,7 @@ def _batched(p: Dict):
     return {k: jnp.asarray(v)[..., None] for k, v in p.items()}
 
 
-class LensSimulator:
+class LensSimulator(gmodel.VersionedAttrs):
     def __init__(
         self,
         phys_model: "gmodel.PhysicalModel",

@@ -274,3 +274,113 @@ def test_laplace_fd_matches_exact(demo_prior, demo_physmodel, small_sim_config):
     assert rel < 0.15, f"FD laplace diverges from exact: rel fro {rel:.3f}"
     dr = np.diag(L_fd) / np.diag(L_ex)
     assert np.all(dr > 0.7) and np.all(dr < 1.4)
+
+
+# ----------------------------------------- review fixes (round-2 code review)
+def test_truncated_normal_right_tail_sampling():
+    """Sampling a window deep in the right tail must not collapse to `high`:
+    in f32 ndtr(8) == ndtr(10) == 1.0, so the naive inverse-CDF pins every
+    draw at the upper bound; the mirrored form keeps full precision."""
+    d = gld.TruncatedNormal(0.0, 1.0, 8.0, 10.0)
+    x = np.asarray(d.sample(jax.random.PRNGKey(0), (512,)))
+    assert np.all((x >= 8.0) & (x <= 10.0))
+    assert not np.allclose(x, 10.0), "samples collapsed to the upper bound"
+    assert x.std() > 1e-3
+    # truncnorm(8, 10) has mean ~8.12; generous tolerance for f32 quantiles
+    assert 8.0 < x.mean() < 8.35
+    # left-tail and bulk windows keep their previous (well-conditioned) path
+    d2 = gld.TruncatedNormal(2.0, 0.25, 1.0, 3.0)
+    x2 = np.asarray(d2.sample(jax.random.PRNGKey(1), (512,)))
+    assert np.all((x2 >= 1.0) & (x2 <= 3.0)) and 1.9 < x2.mean() < 2.1
+    # log_prob is finite for in-window points of the tail case
+    assert np.isfinite(np.asarray(d.log_prob(jnp.asarray(8.1))))
+
+
+def test_series_traced_grid_falls_back_to_exact():
+    """Traced coordinates cannot be value-matched against the precomputed
+    grid; the series must fall back to the exact profile (correct result)
+    rather than trusting the shape and applying stale coefficients."""
+    s, x, y = _series_fixture()
+
+    kw = dict(r_cut=jnp.asarray([1.1]), theta_E=jnp.asarray([1.0]))
+
+    @jax.jit
+    def traced_eval(xx, yy):
+        return s.deriv(xx, yy, **kw)
+
+    # same shape as the grid but shifted values, passed as jit ARGUMENTS
+    fx, fy = traced_eval(x + 0.5, y)
+    ex, ey = DPIE().deriv(x + 0.5, y, r_cut=1.1, r_core=0.1, e1=0.05, e2=0.08,
+                          center_x=0.0, center_y=0.0, theta_E=1.0)
+    np.testing.assert_allclose(np.asarray(fx).ravel(), np.asarray(ex).ravel(),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fy).ravel(), np.asarray(ey).ravel(),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_cached_log_prob_invalidated_on_mutation(demo_prior, demo_physmodel,
+                                                 small_sim_config):
+    """Rebinding an attribute on the model or simulator must invalidate the
+    cached posterior closure (identity+version key), not silently reuse
+    compiled programs with the old data baked in."""
+    from gigalens_tpu.inference.hmc import _cached_log_prob_fn
+
+    obs = np.zeros((20, 20), np.float32)
+    pm = ForwardProbModel(demo_prior, obs, background_rms=0.1, exp_time=100.0)
+    sim = LensSimulator(demo_physmodel, small_sim_config, bs=2)
+    f1 = _cached_log_prob_fn(pm, sim)
+    assert _cached_log_prob_fn(pm, sim) is f1  # stable while unmutated
+    v1 = pm._version
+    pm.observed_image = jnp.ones((20, 20), jnp.float32)
+    assert pm._version > v1  # attribute rebind bumps the version
+    f2 = _cached_log_prob_fn(pm, sim)
+    # fresh closure identity => jit caches keyed on it (e.g. _hmc_programs)
+    # re-trace against the CURRENT attributes instead of replaying programs
+    # with the old image baked in as a constant
+    assert f2 is not f1
+    # mutating the simulator invalidates too
+    f3 = _cached_log_prob_fn(pm, sim)
+    assert f3 is f2
+    sim.conversion_factor = sim.conversion_factor
+    assert _cached_log_prob_fn(pm, sim) is not f2
+
+
+def test_sequence_sim_memo_respects_config_rebind(demo_prior, demo_physmodel,
+                                                  small_sim_config):
+    """Rebinding seq.sim_config after a phase call must rebuild simulators."""
+    import dataclasses
+
+    from gigalens_tpu.inference import ModellingSequence
+
+    obs = np.zeros((20, 20), np.float32)
+    pm = ForwardProbModel(demo_prior, obs, background_rms=0.1, exp_time=100.0)
+    seq = ModellingSequence(demo_physmodel, pm, small_sim_config)
+    s1 = seq._sim(4)
+    assert seq._sim(4) is s1  # memo hit while config unchanged
+    seq.sim_config = dataclasses.replace(small_sim_config, supersample=2)
+    s2 = seq._sim(4)
+    assert s2 is not s1
+    assert s2.supersample == 2
+
+
+def test_mean_field_init_uses_marginal_stddevs(demo_prior, demo_physmodel,
+                                               small_sim_config):
+    """A correlated Laplace factor's mean-field init must use the marginal
+    stddevs (row norms of L), not |diag(L)|."""
+    import optax
+
+    from gigalens_tpu.inference.svi import fit_svi
+
+    obs = np.zeros((20, 20), np.float32)
+    pm = ForwardProbModel(demo_prior, obs, background_rms=0.1, exp_time=100.0)
+    sim = LensSimulator(demo_physmodel, small_sim_config, bs=4)
+    d = demo_prior.d
+    # L with all scale in the off-diagonal for row 1
+    L = np.eye(d, dtype=np.float32) * 0.1
+    L[1, 0], L[1, 1] = 0.5, 1e-6
+    start = demo_prior.unconstrain(demo_prior.sample(jax.random.PRNGKey(0), 1))
+    q_z, _ = fit_svi(pm, sim, start, optax.scale(0.0), n_vi=4, num_steps=1,
+                     init_scales=L, full_rank=False, seed=0)
+    scale = np.asarray(q_z.scale_tril)
+    # marginal sd of dim 1 is ~0.5 (row norm), not 1e-6 (diag)
+    assert abs(scale[1, 1] - 0.5) < 0.01
