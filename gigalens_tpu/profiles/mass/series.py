@@ -126,23 +126,34 @@ class MassSeries(MassProfile):
         """(order+1, 2, ...) stack of d^n(alpha_x, alpha_y)/d series^n."""
         var0 = jnp.asarray(params[self.series_param], jnp.float32)
 
-        def f(var):
-            fx, fy = self.profile.deriv(x, y, **self._base_kwargs(params, var))
-            return jnp.stack(jnp.broadcast_arrays(fx, fy))
+        # One jitted program instead of eagerly dispatched jet arithmetic:
+        # the precompute is one-time but eager op-by-op execution is very
+        # slow on remote-dispatch backends (axon: ~0.4 s per first-seen op)
+        @jax.jit
+        def _compute(var0, params):
+            def f(var):
+                fx, fy = self.profile.deriv(x, y, **self._base_kwargs(params, var))
+                return jnp.stack(jnp.broadcast_arrays(fx, fy))
 
-        return jnp.stack(taylor_derivs(f, var0, order))
+            return jnp.stack(taylor_derivs(f, var0, order))
+
+        return _compute(var0, dict(params))
 
     def precompute_hessian(self, order, x, y, **params):
         """(order+1, 3, ...) stack of d^n(f_xx, f_xy, f_yy)/d series^n."""
         var0 = jnp.asarray(params[self.series_param], jnp.float32)
 
-        def f(var):
-            f_xx, f_xy, _, f_yy = self.profile.hessian(
-                x, y, **self._base_kwargs(params, var)
-            )
-            return jnp.stack(jnp.broadcast_arrays(f_xx, f_xy, f_yy))
+        @jax.jit
+        def _compute(var0, params):
+            def f(var):
+                f_xx, f_xy, _, f_yy = self.profile.hessian(
+                    x, y, **self._base_kwargs(params, var)
+                )
+                return jnp.stack(jnp.broadcast_arrays(f_xx, f_xy, f_yy))
 
-        return jnp.stack(taylor_derivs(f, var0, order))
+            return jnp.stack(taylor_derivs(f, var0, order))
+
+        return _compute(var0, dict(params))
 
     # --------------------------------------------------------- evaluation
     def _powers(self, var):
@@ -277,6 +288,26 @@ class ScalingRelationSeries(MassSeries):
         var0 = jnp.asarray(params[self.series_param], jnp.float32)
         n = jnp.arange(order + 1, dtype=jnp.float32)
 
+        # One jitted program per chunk shape (chunks are uniform, so it
+        # compiles once and is reused across the chunk loop): the jet
+        # arithmetic dispatched eagerly is very slow on remote-dispatch
+        # backends (axon: ~0.4 s per first-seen op — the 200-member demo's
+        # precompute was ~32 s eager)
+        @jax.jit
+        def chunk_contrib(var0_g, u_amp, u_ser, galaxy_params):
+            def f(var):
+                kw = dict(galaxy_params)
+                kw[self.series_param] = var
+                kw[self.amplitude_param] = jnp.ones(())
+                out = component_fn(x, y, **kw)
+                return jnp.stack(jnp.broadcast_arrays(*out))  # (n_comp, chunk, npix)
+
+            derivs = taylor_derivs(f, var0_g, order)  # list of (n_comp, chunk, npix)
+            stack = jnp.stack(derivs)  # (order+1, n_comp, chunk, npix)
+            # chain rule in the global variable + amplitude scaling weights
+            w = u_amp[None, :] * u_ser[None, :] ** n[:, None]  # (order+1, chunk)
+            return jnp.einsum("kc,kncp->knp", w, stack)
+
         total = None
         for ci in range(rel.n_chunks):
             u_amp = rel._unscaled[self.amplitude_param][ci]   # (chunk,)
@@ -290,19 +321,7 @@ class ScalingRelationSeries(MassSeries):
                 galaxy_params[k] = rel._galaxy_constants[k][ci][:, None]
 
             var0_g = var0 * u_ser[:, None]  # (chunk, 1)
-
-            def f(var):
-                kw = dict(galaxy_params)
-                kw[self.series_param] = var
-                kw[self.amplitude_param] = jnp.ones(())
-                out = component_fn(x, y, **kw)
-                return jnp.stack(jnp.broadcast_arrays(*out))  # (n_comp, chunk, npix)
-
-            derivs = taylor_derivs(f, var0_g, order)  # list of (n_comp, chunk, npix)
-            stack = jnp.stack(derivs)  # (order+1, n_comp, chunk, npix)
-            # chain rule in the global variable + amplitude scaling weights
-            w = u_amp[None, :] * u_ser[None, :] ** n[:, None]  # (order+1, chunk)
-            contrib = jnp.einsum("kc,kncp->knp", w, stack)
+            contrib = chunk_contrib(var0_g, u_amp, u_ser, galaxy_params)
             total = contrib if total is None else total + contrib
         return total  # (order+1, n_comp, npix)
 
