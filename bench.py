@@ -179,7 +179,7 @@ def main():
     # seeds the surrogate with the curvature at the MAP, cutting the step
     # budget ~5x at equal-or-better preconditioner quality
     t0 = time.time()
-    best = z_map[jnp.argmax(lps)][None, :]
+    best = z_map[jnp.argmax(jnp.nan_to_num(lps, nan=-jnp.inf))][None, :]
     laplace_method = os.environ.get("GIGALENS_LAPLACE_METHOD", "fd")
     L0 = seq.laplace_scale_tril(best, method=laplace_method)
     jax.block_until_ready(L0)

@@ -191,6 +191,9 @@ def best_start(prob_model, simulator, z) -> jnp.ndarray:
     @jax.jit
     def _best(z):
         lp, _ = prob_model.log_prob(simulator, z)
+        # diverged starts carry NaN log-posteriors; argmax would select a
+        # NaN (it propagates as the max), poisoning everything downstream
+        lp = jnp.where(jnp.isnan(lp), -jnp.inf, lp)
         return z[jnp.argmax(lp)][None, :]
 
     return _best(z)

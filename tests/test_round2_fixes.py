@@ -384,3 +384,17 @@ def test_mean_field_init_uses_marginal_stddevs(demo_prior, demo_physmodel,
     scale = np.asarray(q_z.scale_tril)
     # marginal sd of dim 1 is ~0.5 (row norm), not 1e-6 (diag)
     assert abs(scale[1, 1] - 0.5) < 0.01
+
+
+def test_best_start_ignores_nan_rows(demo_prior, demo_physmodel, small_sim_config):
+    """Diverged multi-start rows carry NaN log-posteriors; best_start must
+    select the best FINITE row (argmax over raw lp would pick a NaN)."""
+    from gigalens_tpu.inference.map import best_start
+
+    obs = np.zeros((20, 20), np.float32)
+    pm = ForwardProbModel(demo_prior, obs, background_rms=0.1, exp_time=100.0)
+    sim = LensSimulator(demo_physmodel, small_sim_config, bs=4)
+    z = np.array(demo_prior.unconstrain(demo_prior.sample(jax.random.PRNGKey(0), 4)))
+    z[0, :] = np.nan  # a diverged start
+    best = np.asarray(best_start(pm, sim, jnp.asarray(z)))
+    assert np.all(np.isfinite(best)), "best_start returned a NaN row"
