@@ -200,3 +200,82 @@ def test_scaling_relation_padded_chunk_finite(rng):
     h = members.hessian(x, y, theta_E=jnp.float32(0.3),
                         r_core=jnp.float32(0.08), r_cut=jnp.float32(1.5))
     assert all(bool(jnp.isfinite(v).all()) for v in h)
+
+
+def test_cluster_full_pipeline_smoke(rng):
+    """Tiny end-to-end cluster fit: MAP -> Laplace -> SVI -> HMC all finite.
+
+    Mirrors examples/demo_cluster.py --series --full (the configuration that
+    produced NaNs from a diverged multi-start row on TPU, see
+    inference/map.py::best_start) at smoke scale: series members + NFW halo
+    + shapelet source with pixel AND position likelihoods.
+    """
+    import optax
+
+    from gigalens_tpu import PhysicalModel, SimulatorConfig
+    from gigalens_tpu.inference import ModellingSequence
+    from gigalens_tpu.model import ForwardProbModel
+    from gigalens_tpu.prob import Prior
+    from gigalens_tpu.prob import distributions as gld
+    from gigalens_tpu.profiles.light.shapelets import Shapelets
+    from gigalens_tpu.profiles.mass.dpie_subhalo import DPIESubhaloSeries
+    from gigalens_tpu.profiles.mass.nfw import NFW_ELLIPSE
+    from gigalens_tpu.simulator import LensSimulator
+
+    G = 6
+    cat = dict(
+        lum=rng.uniform(0.3, 3.0, G).astype(np.float32),
+        center_x=rng.normal(0, 3.0, G).astype(np.float32),
+        center_y=rng.normal(0, 3.0, G).astype(np.float32),
+        e1=rng.uniform(-0.2, 0.2, G).astype(np.float32),
+        e2=rng.uniform(-0.2, 0.2, G).astype(np.float32),
+    )
+    members = DPIESubhaloSeries(lum_star=1.0, galaxy_catalogue=cat, order=2)
+    shapelet = Shapelets(n_max=2)
+    phys = PhysicalModel([NFW_ELLIPSE(), members], [], [shapelet])
+    amp_priors = {a: gld.Normal(0, 5.0) for a in shapelet._amp_names}
+    prior = Prior(dict(
+        lens_mass=[
+            dict(Rs=gld.LogNormal(np.log(6.0), 0.2),
+                 alpha_Rs=gld.LogNormal(np.log(2.0), 0.3),
+                 e1=gld.Normal(0, 0.1), e2=gld.Normal(0, 0.1),
+                 center_x=gld.Normal(0, 0.3), center_y=gld.Normal(0, 0.3)),
+            dict(theta_E=gld.LogNormal(np.log(0.3), 0.3),
+                 r_cut=gld.LogNormal(np.log(1.5), 0.2)),
+        ],
+        source_light=[dict(beta=gld.LogNormal(np.log(0.4), 0.2),
+                           center_x=gld.Normal(0, 0.2),
+                           center_y=gld.Normal(0, 0.2),
+                           **amp_priors)],
+    ))
+    g = np.exp(-((np.arange(5) - 2) ** 2 + (np.arange(5)[:, None] - 2) ** 2) / 2.0)
+    cfg = SimulatorConfig(delta_pix=0.3, num_pix=24, supersample=1,
+                          kernel=(g / g.sum()).astype(np.float32))
+
+    probe = LensSimulator(phys, cfg, bs=1)
+    members.set_constants(dict(r_cut=1.5, r_core=0.08))
+    members.set_grid(probe.img_x, probe.img_y)
+    members.set_deriv()
+
+    truth = prior.sample(jax.random.PRNGKey(3), 1)
+    img = np.asarray(jax.jit(LensSimulator(phys, cfg, bs=1).simulate)(truth))
+    obs = img + rng.normal(size=img.shape).astype(np.float32) * 0.1
+    pm = ForwardProbModel(
+        prior, obs, background_rms=0.1, exp_time=500.0,
+        centroids_x=[np.array([1.2, -0.9], np.float32)],
+        centroids_y=[np.array([0.3, -0.4], np.float32)],
+        centroids_errors_x=[np.full(2, 0.1, np.float32)],
+        centroids_errors_y=[np.full(2, 0.1, np.float32)],
+    )
+    seq = ModellingSequence(phys, pm, cfg)
+
+    z = seq.MAP(optax.adam(5e-3), n_samples=8, num_steps=20, seed=0)
+    best = seq.best_map_start(z)
+    assert bool(jnp.isfinite(best).all())
+    L0 = seq.laplace_scale_tril(best)
+    assert np.isfinite(L0).all()
+    q_z, losses = seq.SVI(best, optax.adam(2e-3), n_vi=8, num_steps=10,
+                          init_scales=L0, seed=1)
+    assert bool(jnp.isfinite(losses).all())
+    res = seq.HMC(q_z, n_hmc=4, num_burnin_steps=8, num_results=12, seed=2)
+    assert bool(jnp.isfinite(res.samples).all())
