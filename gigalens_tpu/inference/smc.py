@@ -21,6 +21,19 @@ The tempering loop runs as a ``lax.while_loop`` on device, dispatched in
 bounded segments (``segment_stages``) because the axon TPU tunnel kills
 single executions that run longer than a few minutes; each segment is a
 single host round-trip.
+
+Degeneracy caveat (matches the reference's semantics, so it is documented
+rather than silently "fixed"): the incremental weights are
+``exp(delta * (like - aux))``. With ``auxiliar="positions"``, prior draws
+that land near a critical curve carry position log-likelihoods of order
+``-1e9`` (the position errors are magnification-scaled), so such a particle
+has a huge POSITIVE increment, absorbs all weight at the first stage,
+and systematic resampling clones it across the ensemble — after which the
+within-ensemble increment spread is ~0, the ESS criterion reads perfect,
+and beta jumps to 1 around a degenerate cloud. Pass ``start=`` a MAP
+subsample (the reference's own cluster workflow) when using a position
+auxiliary; ``start=None`` prior initialization is safe only for
+``auxiliar="none"`` targets.
 """
 from __future__ import annotations
 
@@ -86,9 +99,13 @@ def fit_smc(
 
         z0 = _init(k_init)
     else:
+        # subsample the provided starts (e.g. MAP output); with fewer starts
+        # than particles, duplicates are fine — the HMC moves re-diversify
+        replace = int(np.asarray(start).shape[0]) < n
+
         @jax.jit
         def _pick(key, start):
-            idx = jax.random.choice(key, start.shape[0], (P, E), replace=False)
+            idx = jax.random.choice(key, start.shape[0], (P, E), replace=replace)
             return start[idx]
 
         z0 = _pick(k_init, jnp.asarray(start))
@@ -105,9 +122,9 @@ def fit_smc(
         # src/gigalens/jax/inference.py:234-240); a missing *target* term
         # would silently sample the prior, so that raises instead
         missing = (
-            name == "pixels" and not getattr(prob_model, "include_pixels", True)
+            "pixels" in name and not getattr(prob_model, "include_pixels", True)
         ) or (
-            name == "positions"
+            "positions" in name
             and not getattr(prob_model, "include_positions", True)
         )
         if missing:
@@ -121,6 +138,19 @@ def fit_smc(
             return lambda x: prob_model.stats_pixels(simulator, x)[0]
         if name == "positions":
             return lambda x: prob_model.stats_positions(simulator, x)[0]
+        if name == "pixels+positions":
+            # combined-likelihood tempering (beyond the reference's
+            # {pixels, positions, none} menu): annealing BOTH terms from the
+            # prior is the robust choice when the position term's
+            # magnification-scaled errors produce huge log-likelihood
+            # magnitudes — as the tempered target, a pathological particle's
+            # increment is hugely NEGATIVE (weight -> 0, harmless) instead
+            # of hugely positive (weight -> 1, ensemble collapse) as it is
+            # on the auxiliary side. Use with auxiliar="none".
+            return lambda x: (
+                prob_model.stats_pixels(simulator, x)[0]
+                + prob_model.stats_positions(simulator, x)[0]
+            )
         if name == "none":
             return lambda x: jnp.zeros((n,))
         raise ValueError(f"unknown likelihood selector: {name}")
@@ -193,7 +223,10 @@ def fit_smc(
         def body(_, carry):
             lo, hi = carry
             mid = 0.5 * (lo + hi)
-            too_small_ess = log_ess(mid) < target_log_ess  # step too big
+            # step too big when ESS drops below target; written as a negated
+            # >= so a NaN log-ESS (e.g. a non-finite increment) also counts
+            # as too big instead of silently inflating the temperature jump
+            too_small_ess = ~(log_ess(mid) >= target_log_ess)
             hi = jnp.where(too_small_ess, mid, hi)
             lo = jnp.where(too_small_ess, lo, mid)
             return lo, hi

@@ -250,3 +250,29 @@ def test_progress_callbacks_fire(seq, demo_prior):
     seq.HMC(q_z, n_hmc=8, num_burnin_steps=2, num_results=4, segment_steps=3,
             progress=lambda s, v: calls.append((s, v)))
     assert [s for s, _ in calls] == [3, 6]
+
+
+def test_smc_combined_target_and_start_subsample(
+    demo_prior, demo_physmodel, small_sim_config
+):
+    """target="pixels+positions" anneals BOTH likelihood terms from the
+    prior (the robust mode when the magnification-scaled position term has
+    huge log-likelihood magnitudes — see inference/smc.py docstring), and a
+    ``start`` with fewer rows than particles subsamples with replacement."""
+    pm = ForwardProbModel(
+        demo_prior,
+        observed_image=np.zeros((20, 20), np.float32),
+        background_rms=0.1,
+        exp_time=100,
+        centroids_x=[np.array([0.5, -0.5])],
+        centroids_y=[np.array([0.1, -0.1])],
+        centroids_errors_x=[np.full(2, 0.05)],
+        centroids_errors_y=[np.full(2, 0.05)],
+    )
+    seq2 = ModellingSequence(demo_physmodel, pm, small_sim_config)
+    start = demo_prior.unconstrain(demo_prior.sample(jax.random.PRNGKey(0), 4))
+    res = seq2.SMC(start=start, num_particles=16, num_ensembles=1,
+                   num_leapfrog_steps=2, post_sampling_steps=2, max_stage=3,
+                   target="pixels+positions", auxiliar="none", seed=0)
+    assert np.isfinite(np.asarray(res.particles)).all()
+    assert float(res.final_beta[0]) > 0.0
