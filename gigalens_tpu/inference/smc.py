@@ -52,6 +52,16 @@ class SMCResult(NamedTuple):
     log_scalings: jnp.ndarray    # (P, E) final per-particle step-size logs
     post_samples: jnp.ndarray    # (post_steps, P*E, d) optional HMC chain
     final_beta: jnp.ndarray      # (E,) 1.0 unless max_stage was hit first
+    # (E,) per-ensemble log model evidence (marginal likelihood) estimate:
+    # sum over tempering stages of log mean incremental weight. Estimates
+    # log E_{prior * aux}[exp(like - aux)] — with auxiliar="none" and prior
+    # initialization this is the standard SMC estimate of log p(data), the
+    # quantity Bayes-factor model comparison needs (a capability the
+    # reference's TFP SMC driver does not expose). Only meaningful when
+    # ``start=None`` (particles begin as exact prior draws) and
+    # ``final_beta == 1``; with a MAP-subsample start the bridge does not
+    # begin at the prior and the estimate is biased.
+    log_evidence: jnp.ndarray = jnp.zeros(())
 
 
 def _systematic_resample(key, logw, z_extra):
@@ -283,6 +293,7 @@ def fit_smc(
         log_scalings: jnp.ndarray  # (P, E)
         num_steps: jnp.ndarray    # () int
         stage: jnp.ndarray        # () int
+        log_z: jnp.ndarray        # (E,) accumulated log-evidence estimate
 
     def cond(s: _State):
         return (jnp.min(s.beta) < 1.0) & (s.stage < max_stage)
@@ -294,6 +305,14 @@ def fit_smc(
         delta = find_delta(incr, s.beta)
         beta_new = jnp.minimum(1.0, s.beta + delta)
         logw = (beta_new - s.beta)[None, :] * incr  # (P, E)
+
+        # Evidence accumulator: particles enter each stage equally weighted
+        # (the previous stage resampled), so log mean(w) estimates
+        # log Z(beta_new)/Z(beta), and the sum over stages telescopes to
+        # log Z(1)/Z(0) = the log marginal likelihood (Del Moral et al. 2006)
+        log_z = s.log_z + jax.scipy.special.logsumexp(logw, axis=0) - jnp.log(
+            jnp.asarray(P, logw.dtype)
+        )
 
         # systematic resampling per ensemble (vmap over E on axis 1); the
         # cached parts/gradients ride the same gather as the positions
@@ -329,7 +348,8 @@ def fit_smc(
         num_steps = jnp.clip(num_steps, min_sampling_per_stage, max_sampling_per_stage)
 
         part = part._replace(z=pmesh.constrain_samples(part.z, mesh))
-        return _State(key, part, beta_new, log_scalings, num_steps, s.stage + 1)
+        return _State(key, part, beta_new, log_scalings, num_steps, s.stage + 1,
+                      log_z)
 
     @jax.jit
     def run_stages(s, seg_end):
@@ -357,7 +377,8 @@ def fit_smc(
 
     def run_post(s):
         if post_sampling_steps <= 0:
-            return s.part.z, s.stage, s.log_scalings, jnp.zeros((0, n, d)), s.beta
+            return (s.part.z, s.stage, s.log_scalings, jnp.zeros((0, n, d)),
+                    s.beta, s.log_z)
         chunk = post_sampling_steps
         if segment_stages > 0:
             # bound each post dispatch by one tempering segment's move count
@@ -381,7 +402,7 @@ def fit_smc(
         # particles stay the beta=1 tempering output (the post chain is a
         # separate sample stream), matching the unsegmented behavior
         return (s.part.z, s.stage, s.log_scalings,
-                jnp.concatenate(parts)[:post_sampling_steps], s.beta)
+                jnp.concatenate(parts)[:post_sampling_steps], s.beta, s.log_z)
 
     s = _State(
         key=key,
@@ -390,6 +411,7 @@ def fit_smc(
         log_scalings=jnp.full((P, E), init_log_scaling),
         num_steps=jnp.asarray(max_sampling_per_stage, jnp.int32),
         stage=jnp.asarray(0, jnp.int32),
+        log_z=jnp.zeros((E,)),
     )
     seg = segment_stages if segment_stages > 0 else max_stage
     while True:
@@ -400,5 +422,5 @@ def fit_smc(
             progress(int(s.stage), float(jnp.min(s.beta)))
         if float(jnp.min(s.beta)) >= 1.0 or int(s.stage) >= max_stage:
             break
-    z, stages, log_scalings, post, beta = run_post(s)
-    return SMCResult(z, stages, log_scalings, post, beta)
+    z, stages, log_scalings, post, beta, log_z = run_post(s)
+    return SMCResult(z, stages, log_scalings, post, beta, log_z)

@@ -180,6 +180,12 @@ def test_smc_gaussian_posterior():
     # posterior: var = 1/(1/1 + 1/0.25) = 0.2, mean = 0.2 * (1/0.25) = 0.8
     np.testing.assert_allclose(s.mean(0), [0.8] * 3, atol=0.08)
     np.testing.assert_allclose(s.var(0), [0.2] * 3, atol=0.07)
+    # log evidence: Z = prod_d int N(z;0,1) exp(-0.5 (z-1)^2/0.25) dz
+    #             = (sqrt(0.25/1.25) * exp(-0.5/1.25))^3
+    log_z_true = 3 * (0.5 * np.log(0.25 / 1.25) - 0.5 / 1.25)
+    lz = np.asarray(res.log_evidence)
+    assert lz.shape == (2,)
+    np.testing.assert_allclose(lz, log_z_true, atol=0.2)
 
 
 def test_smc_pixels_only_default_aux_and_segments(seq):
