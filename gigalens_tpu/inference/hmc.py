@@ -56,16 +56,24 @@ class ChEESState(NamedTuple):
 class HMCResult(NamedTuple):
     samples: jnp.ndarray        # (num_results, n_chains, d)
     accept_rate: jnp.ndarray    # (total_steps,) mean accept prob per step
-    step_size: jnp.ndarray      # final (adapted) step size
+    step_size: jnp.ndarray      # final (adapted) step size; (G,) when grouped
     final_state: jnp.ndarray    # (n_chains, d)
     trajectory_length: jnp.ndarray = jnp.zeros(())  # final T (chees) or L*eps
+    # (n_chains,) count of post-adaptation proposals with |dH| > 25 (endpoint
+    # energy-error divergence indicator, the batched-HMC analogue of NUTS
+    # divergence counting). A nonzero rate flags chains stuck in
+    # high-curvature regions whose samples are untrustworthy.
+    divergences: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 def _da_init(eps0, t_start=0):
+    """eps0 may be a scalar or a (G,) per-group vector; state matches it."""
+    eps0 = jnp.asarray(eps0)
     log_eps = jnp.log(eps0)
     return DualAveragingState(
-        log_eps, log_eps, jnp.zeros(()),
-        jnp.log(10.0 * eps0), jnp.asarray(t_start, jnp.float32),
+        log_eps, log_eps, jnp.zeros_like(log_eps),
+        jnp.log(10.0 * eps0),
+        jnp.broadcast_to(jnp.asarray(t_start, jnp.float32), log_eps.shape),
     )
 
 
@@ -109,6 +117,7 @@ def _hmc_programs(
     max_leapfrog_steps,
     chees_lr,
     mesh,
+    n_groups=1,
 ):
     """Build (init_carry, run_segment) jitted programs for one HMC config.
 
@@ -122,7 +131,26 @@ def _hmc_programs(
     every extra HMC seed pay ~25 s of recompiles. With the cache, repeat
     fits at the same configuration reuse the compiled executables and run
     at pure compute cost.
+
+    ``n_groups > 1`` partitions the (group-major-ordered) chains into G
+    independent groups, each with its own preconditioner, step size,
+    trajectory length, and windowed mass re-estimate — the survey mode
+    (many lens systems sampled in ONE device program, each adapting to its
+    own posterior geometry). All adaptation reductions become per-group;
+    the only whole-batch operation left is the posterior gradient itself,
+    which is what makes the batching profitable on a TPU. ``G = 1``
+    reproduces the single-fit path exactly (verified bitwise on the toy
+    regression in scripts/check_hmc_refout.py).
     """
+    G = n_groups
+    C = n_chains // G
+    assert n_chains == G * C, "n_chains must divide evenly into n_groups"
+
+    def grp(a):  # (n, ...) -> (G, C, ...)
+        return a.reshape(G, C, *a.shape[1:])
+
+    def flat(a):  # (G, C, ...) -> (n, ...)
+        return a.reshape(n_chains, *a.shape[2:])
 
     def lp_and_grad(z):
         lp, vjp = jax.vjp(log_prob_fn, z)
@@ -130,68 +158,90 @@ def _hmc_programs(
         return lp, g
 
     def kinetic(p, tril):
-        # 0.5 p^T Sigma p computed as |L^T p|^2 / 2 (never forms Sigma^{-1})
-        return 0.5 * jnp.sum((p @ tril) ** 2, axis=-1)
+        # 0.5 p^T Sigma p computed as |L^T p|^2 / 2 (never forms Sigma^{-1});
+        # p: (G, C, d), tril: (G, d, d) -> (G, C)
+        return 0.5 * jnp.sum(jnp.einsum("gcd,gdi->gci", p, tril) ** 2, axis=-1)
 
     def leapfrog(z, p, grad, eps, n_steps, m_inv):
+        """z/p/grad: (G, C, d); eps: (G, 1, 1); n_steps: per-group (G,) when
+        trajectory lengths differ (survey chees), else a scalar. Groups with
+        shorter trajectories freeze once their step count is exhausted; the
+        frozen groups' lp/grad recomputation is a no-op on their state (same
+        z in, same values out) so the final half-step stays consistent."""
         p = p + 0.5 * eps * grad
+        per_group = chees and G > 1
+        n_max = jnp.max(n_steps) if chees else n_steps
 
-        def body(_, carry):
+        def body(i, carry):
             z, p, _, _ = carry
-            z = z + eps * (p @ m_inv)
-            lp, g = lp_and_grad(z)
-            p = p + eps * g
-            return z, p, lp, g
+            z_new = z + eps * jnp.einsum("gcd,gde->gce", p, m_inv)
+            if per_group:
+                z_new = jnp.where((i < n_steps)[:, None, None], z_new, z)
+            lp, g = lp_and_grad(flat(z_new))
+            lp, g = grp(lp), grp(g)
+            p_new = p + eps * g
+            if per_group:
+                p_new = jnp.where((i < n_steps)[:, None, None], p_new, p)
+            return z_new, p_new, lp, g
 
         z, p, lp, g = jax.lax.fori_loop(
-            0, n_steps, body, (z, p, jnp.zeros(z.shape[:1], z.dtype), grad)
+            0, n_max, body, (z, p, jnp.zeros(z.shape[:2], z.dtype), grad)
         )
         p = p - 0.5 * eps * g  # undo the extra half step from the last body
         return z, p, lp, g
 
     def _chees_grad(z, z_new, p_new, accept_prob_c, m_inv):
-        """ChEES criterion gradient estimate w.r.t. trajectory length."""
-        zc = z - jnp.mean(z, axis=0, keepdims=True)
-        zc_new = z_new - jnp.mean(z_new, axis=0, keepdims=True)
-        delta = jnp.sum(zc_new**2, -1) - jnp.sum(zc**2, -1)  # (n_chains,)
-        v_new = p_new @ m_inv  # final velocity dz/dtau
+        """ChEES criterion gradient estimate w.r.t. trajectory length, per
+        group: (G, C, d) inputs -> (G,)."""
+        zc = z - jnp.mean(z, axis=1, keepdims=True)
+        zc_new = z_new - jnp.mean(z_new, axis=1, keepdims=True)
+        delta = jnp.sum(zc_new**2, -1) - jnp.sum(zc**2, -1)  # (G, C)
+        v_new = jnp.einsum("gcd,gde->gce", p_new, m_inv)  # final velocity
         proj = jnp.sum(zc_new * v_new, -1)
         w = accept_prob_c
-        return jnp.sum(w * delta * proj) / jnp.maximum(jnp.sum(w), 1e-6)
+        return jnp.sum(w * delta * proj, axis=1) / jnp.maximum(
+            jnp.sum(w, axis=1), 1e-6
+        )
 
     def step(carry, inp):
-        z, lp, grad, da, ch, t, tril, tril0, s1, s2, cnt, z_ref = carry
+        z, lp, grad, da, ch, t, tril, tril0, s1, s2, cnt, z_ref, div = carry
         key, h = inp
         k_mom, k_acc = jax.random.split(key)
 
-        m_inv = tril @ tril.T  # Sigma (d x d, negligible vs the renders)
+        # Sigma per group (G x d x d, negligible vs the renders)
+        m_inv = tril @ jnp.swapaxes(tril, -1, -2)
         inv_l = jax.scipy.linalg.solve_triangular(
-            tril, jnp.eye(d, dtype=tril.dtype), lower=True
+            tril, jnp.broadcast_to(jnp.eye(d, dtype=tril.dtype), tril.shape),
+            lower=True,
         )
 
         eps = jnp.where(
             t < num_adaptation_steps, jnp.exp(da.log_eps), jnp.exp(da.log_eps_bar)
-        )
+        )  # (G,)
         if chees:
             traj = h * jnp.exp(ch.log_t)
             n_steps = jnp.clip(
                 jnp.ceil(traj / eps).astype(jnp.int32), 1, max_leapfrog_steps
-            )
+            )  # (G,)
         else:
             n_steps = num_leapfrog_steps
 
         eps_n = jax.random.normal(k_mom, (n_chains, d), z.dtype)
-        p0 = eps_n @ inv_l
-        z_new, p_new, lp_new, grad_new = leapfrog(z, p0, grad, eps, n_steps, m_inv)
+        p0 = jnp.einsum("gcd,gdi->gci", grp(eps_n), inv_l)
+        eps_b = eps[:, None, None]
+        z_g, lp_g, grad_g = grp(z), grp(lp), grp(grad)
+        z_new, p_new, lp_new, grad_new = leapfrog(
+            z_g, p0, grad_g, eps_b, n_steps, m_inv
+        )
 
-        log_accept = (lp_new - kinetic(p_new, tril)) - (lp - kinetic(p0, tril))
+        log_accept = (lp_new - kinetic(p_new, tril)) - (lp_g - kinetic(p0, tril))
         log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
-        accept_prob_c = jnp.minimum(1.0, jnp.exp(log_accept))
+        accept_prob_c = jnp.minimum(1.0, jnp.exp(log_accept))  # (G, C)
         u = jax.random.uniform(k_acc, (n_chains,), z.dtype, minval=1e-10)
-        accept = jnp.log(u) < log_accept
+        accept = grp(jnp.log(u)) < log_accept  # (G, C)
 
         if chees:
-            g = _chees_grad(z, z_new, p_new, accept_prob_c, m_inv)
+            g = _chees_grad(z_g, z_new, p_new, accept_prob_c, m_inv)  # (G,)
             b1, b2, eps_a = 0.9, 0.999, 1e-8
             adam_m = b1 * ch.adam_m + (1 - b1) * g
             adam_v = b2 * ch.adam_v + (1 - b2) * g**2
@@ -209,22 +259,29 @@ def _hmc_programs(
                 ch_new, ch,
             )
 
-        z = jnp.where(accept[:, None], z_new, z)
-        lp = jnp.where(accept, lp_new, lp)
-        grad = jnp.where(accept[:, None], grad_new, grad)
+        z = flat(jnp.where(accept[..., None], z_new, z_g))
+        lp = flat(jnp.where(accept, lp_new, lp_g))
+        grad = flat(jnp.where(accept[..., None], grad_new, grad_g))
         z = pmesh.constrain_samples(z, mesh)
 
-        # Cross-chain reduction feeding dual averaging. Mean (default): its
-        # sensitivity to a low-acceptance minority is load-bearing — it slows
-        # the step size until even high-curvature chains can move. The
-        # "median" alternative was measured on the benchmark and is worse:
-        # eps tunes to the median chain, stuck chains never recover, and
-        # min-ESS halves (54.7 vs 88.6 ESS/s at 50 chains, one rhat=2.4
-        # blow-up at 100).
+        # Endpoint-energy divergence count (post-adaptation only): a proposal
+        # whose |dH| exceeds 25 nats is effectively unacceptable and marks a
+        # chain in pathological curvature
+        div = div + jnp.where(
+            (t >= num_adaptation_steps) & (flat(log_accept) < -25.0), 1, 0
+        ).astype(jnp.int32)
+
+        # Cross-chain reduction feeding dual averaging, per group. Mean
+        # (default): its sensitivity to a low-acceptance minority is
+        # load-bearing — it slows the step size until even high-curvature
+        # chains can move. The "median" alternative was measured on the
+        # benchmark and is worse: eps tunes to the median chain, stuck chains
+        # never recover, and min-ESS halves (54.7 vs 88.6 ESS/s at 50 chains,
+        # one rhat=2.4 blow-up at 100).
         if accept_reduction == "median":
-            accept_prob = jnp.median(accept_prob_c)
+            accept_prob = jnp.median(accept_prob_c, axis=1)
         else:
-            accept_prob = jnp.mean(accept_prob_c)
+            accept_prob = jnp.mean(accept_prob_c, axis=1)  # (G,)
         da_new = _da_update(da, t, accept_prob, target=target_accept)
         da = jax.tree_util.tree_map(
             lambda new, old: jnp.where(t < num_adaptation_steps, new, old), da_new, da
@@ -236,28 +293,31 @@ def _hmc_programs(
             # z ~ O(10) and small moves, raw E[zz^T] - mm^T cancels
             # catastrophically in float32 and goes non-PD
             in_window = t < switch_t
-            zc = z - z_ref
-            s1 = jnp.where(in_window, s1 + jnp.sum(zc, axis=0), s1)
-            s2 = jnp.where(in_window, s2 + zc.T @ zc, s2)
-            cnt = jnp.where(in_window, cnt + n_chains, cnt)
+            zc = grp(z) - z_ref[:, None]  # (G, C, d)
+            s1 = jnp.where(in_window, s1 + jnp.sum(zc, axis=1), s1)
+            s2 = jnp.where(in_window, s2 + jnp.einsum("gcd,gce->gde", zc, zc), s2)
+            cnt = jnp.where(in_window, cnt + C, cnt)
 
             def _switch(args):
                 tril, da, ch = args
-                m = s1 / cnt
-                cov_est = s2 / cnt - jnp.outer(m, m)
+                m = s1 / cnt[:, None]
+                cov_est = s2 / cnt[:, None, None] - jnp.einsum("gd,ge->gde", m, m)
                 # shrink toward the initial (VI) covariance, Stan-style
-                w = cnt / (cnt + 5.0 * d)
-                cov = w * cov_est + (1.0 - w) * (tril0 @ tril0.T)
-                cov = cov + 1e-3 * (jnp.trace(cov) / d) * jnp.eye(d, dtype=cov.dtype)
+                w = (cnt / (cnt + 5.0 * d))[:, None, None]
+                cov = w * cov_est + (1.0 - w) * (tril0 @ jnp.swapaxes(tril0, -1, -2))
+                tr = jnp.trace(cov, axis1=-2, axis2=-1)[:, None, None]
+                cov = cov + 1e-3 * (tr / d) * jnp.eye(d, dtype=cov.dtype)
                 tril_new = jnp.linalg.cholesky(cov)
-                # keep the old preconditioner if the estimate is unusable
-                tril_new = jnp.where(jnp.any(jnp.isnan(tril_new)), tril, tril_new)
+                # keep a group's old preconditioner if its estimate is unusable
+                bad = jnp.any(jnp.isnan(tril_new), axis=(-2, -1))[:, None, None]
+                tril_new = jnp.where(bad, tril, tril_new)
                 # restart step-size adaptation at the current step size; the
                 # trajectory length is in preconditioned time units, so reset
                 # it too (ChEES re-adapts in the remaining window)
                 eps_cur = jnp.exp(da.log_eps)
                 ch_new = ChEESState(
-                    jnp.log(num_leapfrog_steps * eps_cur), jnp.zeros(()), jnp.zeros(())
+                    jnp.log(num_leapfrog_steps * eps_cur),
+                    jnp.zeros_like(eps_cur), jnp.zeros_like(eps_cur),
                 )
                 return tril_new, _da_init(eps_cur, t_start=t), ch_new
 
@@ -265,22 +325,23 @@ def _hmc_programs(
                 t == switch_t, _switch, lambda args: args, (tril, da, ch)
             )
         return (
-            (z, lp, grad, da, ch, t + 1, tril, tril0, s1, s2, cnt, z_ref),
+            (z, lp, grad, da, ch, t + 1, tril, tril0, s1, s2, cnt, z_ref, div),
             (z, jnp.mean(accept_prob_c)),
         )
 
     @jax.jit
     def init_carry(z0, tril0):
         lp0, grad0 = lp_and_grad(z0)
-        da0 = _da_init(jnp.asarray(step_size, z0.dtype))
+        da0 = _da_init(jnp.full((G,), step_size, z0.dtype))
         ch0 = ChEESState(
-            jnp.log(jnp.asarray(num_leapfrog_steps * step_size, z0.dtype)),
-            jnp.zeros(()),
-            jnp.zeros(()),
+            jnp.full((G,), jnp.log(num_leapfrog_steps * step_size), z0.dtype),
+            jnp.zeros((G,)),
+            jnp.zeros((G,)),
         )
         return (z0, lp0, grad0, da0, ch0, jnp.asarray(0),
-                tril0, tril0, jnp.zeros(d), jnp.zeros((d, d)), jnp.zeros(()),
-                jnp.mean(z0, axis=0))
+                tril0, tril0, jnp.zeros((G, d)), jnp.zeros((G, d, d)),
+                jnp.zeros((G,)), jnp.mean(grp(z0), axis=1),
+                jnp.zeros((n_chains,), jnp.int32))
 
     @jax.jit
     def run_segment(carry, keys, hs):
@@ -310,9 +371,17 @@ def sample_hmc(
     mesh=None,
     segment_steps: int = 0,
     progress=None,
+    n_groups: int = 1,
 ):
     """Batched preconditioned HMC. ``z0``: (n_chains, d); ``log_prob_fn``
     maps (n_chains, d) -> (n_chains,).
+
+    ``n_groups > 1`` runs G independent per-group adaptations over
+    group-major-ordered chains (survey mode): pass a per-group
+    ``momentum_covariance_tril`` of shape (G, d, d) (a single (d, d) factor
+    is broadcast) and read back ``step_size``/``trajectory_length`` as (G,)
+    vectors. The posterior gradient still evaluates the whole (n_chains, d)
+    batch in one program — that batching is the TPU win.
 
     ``progress``, if given, is called after every dispatched segment with
     ``(steps_done, mean_accept_prob_of_segment)`` — live-feedback parity with
@@ -333,6 +402,8 @@ def sample_hmc(
     restarts — this rescues runs where the VI covariance overestimates some
     direction, which otherwise collapses the step size for every direction."""
     n_chains, d = z0.shape
+    if n_chains % n_groups:
+        raise ValueError(f"{n_chains} chains do not divide into {n_groups} groups")
     if num_adaptation_steps is None:
         num_adaptation_steps = int(0.8 * num_burnin_steps)
     total_steps = num_burnin_steps + num_results
@@ -348,12 +419,18 @@ def sample_hmc(
         )
     else:
         tril = jnp.eye(d, dtype=z0.dtype)
+    if tril.ndim == 2:
+        tril = jnp.broadcast_to(tril, (n_groups, d, d))
+    elif tril.shape[0] != n_groups:
+        raise ValueError(
+            f"per-group tril has leading dim {tril.shape[0]}, expected {n_groups}"
+        )
     tril0 = tril
 
     init_carry, run_segment = _hmc_programs(
         log_prob_fn, n_chains, d, float(step_size), num_leapfrog_steps,
         num_adaptation_steps, switch_t, do_mass, chees, target_accept,
-        accept_reduction, max_leapfrog_steps, chees_lr, mesh,
+        accept_reduction, max_leapfrog_steps, chees_lr, mesh, n_groups,
     )
 
     halton = jnp.asarray(_halton(total_steps)) if chees else jnp.ones(total_steps)
@@ -369,12 +446,14 @@ def sample_hmc(
         if progress is not None:
             jax.block_until_ready(acc)
             progress(hi, float(jnp.mean(acc)))
-    zf, _, _, da, ch, _, _, _, _, _, _, _ = carry
+    zf, _, _, da, ch, _, _, _, _, _, _, _, div = carry
     zs = jnp.concatenate(zs_parts)
     acc = jnp.concatenate(acc_parts)
     final_eps = jnp.exp(da.log_eps_bar)
     final_t = jnp.exp(ch.log_t) if chees else num_leapfrog_steps * final_eps
-    return HMCResult(zs[num_burnin_steps:], acc, final_eps, zf, final_t)
+    if n_groups == 1:  # preserve the scalar API of the single-fit path
+        final_eps, final_t = final_eps[0], final_t[0]
+    return HMCResult(zs[num_burnin_steps:], acc, final_eps, zf, final_t, div)
 
 
 @functools.lru_cache(maxsize=8)

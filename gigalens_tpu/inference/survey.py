@@ -1,0 +1,213 @@
+"""Survey mode: fit S independent lens systems in single device programs.
+
+Beyond the reference (which fits one system per process,
+``src/gigalens/jax/inference.py``), this drives the same MAP -> SVI -> HMC
+pipeline over a whole *catalogue* of observations at once:
+
+  * one scene-batched likelihood (:class:`gigalens_tpu.model.SurveyForwardProbModel`)
+    scores ``S * K`` scene-major rows in one render batch;
+  * MAP is the ordinary multi-start fit — the starts of all scenes share one
+    Adam program;
+  * SVI optimizes S independent MVN surrogates jointly
+    (:func:`gigalens_tpu.inference.svi.fit_svi_survey`);
+  * HMC runs all scenes' chains in one program with per-scene adaptation
+    (``sample_hmc(n_groups=S)``: per-scene preconditioner, step size,
+    ChEES trajectory length, and windowed mass re-estimate).
+
+Why batch scenes instead of looping: a single 80x80 system at 50 chains
+leaves a TPU latency-bound (~64 us/chain/gradient, flat to bs~800 —
+BASELINE.md chain-count scaling), and every per-scene program dispatch pays
+host round-trips. Survey batching fills the chip and shards the flat
+scene-major sample axis over the mesh like any other batch.
+
+All scenes share the camera geometry (one ``SimulatorConfig``) and the model
+family + prior; what differs per scene is the observation (and optionally
+per-scene noise). This matches the survey use case: uniform cutouts from one
+imaging survey, one modeling configuration.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gigalens_tpu.inference.hmc import HMCResult, _cached_log_prob_fn, sample_hmc
+from gigalens_tpu.inference.map import fit_map
+from gigalens_tpu.inference.svi import fit_svi_survey
+from gigalens_tpu.model import SurveyForwardProbModel
+from gigalens_tpu.parallel import mesh as pmesh
+from gigalens_tpu.simulator import LensSimulator
+
+
+class SurveySequence:
+    """MAP -> SVI -> HMC over a catalogue of observations.
+
+    ``prob_model`` must be a :class:`SurveyForwardProbModel`; its
+    ``n_scenes`` fixes S. Method batch sizes are *per scene*.
+    """
+
+    def __init__(self, phys_model, prob_model, sim_config, mesh=None):
+        if not isinstance(prob_model, SurveyForwardProbModel):
+            raise TypeError("SurveySequence requires a SurveyForwardProbModel")
+        self.phys_model = phys_model
+        self.prob_model = prob_model
+        self.sim_config = sim_config
+        self.mesh = mesh if mesh is not None else pmesh.default_mesh()
+        self.n_scenes = prob_model.n_scenes
+        self._sims = {}
+
+    def _sim(self, bs: int, exact: bool = False) -> LensSimulator:
+        """Same exact/fast PSF-path policy as ``ModellingSequence._sim``
+        (see that docstring for the measured rationale)."""
+        key = (bs, exact, getattr(self.phys_model, "_version", 0))
+        hit = self._sims.get(key)
+        if hit is not None and hit[0] is self.sim_config and hit[1] is self.phys_model:
+            return hit[2]
+        cfg = self.sim_config
+        if exact:
+            cfg = dataclasses.replace(
+                cfg,
+                psf_mode="fft" if (cfg.psf_mode is None and cfg.use_fft is None)
+                else cfg.psf_mode,
+            )
+        sim = LensSimulator(self.phys_model, cfg, bs=bs)
+        self._sims[key] = (self.sim_config, self.phys_model, sim)
+        return sim
+
+    def _per_scene(self, k: int, what: str) -> int:
+        """Round the per-scene batch so the flat scene-major batch divides
+        the mesh."""
+        return pmesh.round_to_multiple(k, self.mesh.size, what)
+
+    def MAP(
+        self,
+        optimizer: optax.GradientTransformation,
+        n_starts: int = 32,
+        num_steps: int = 350,
+        seed: int = 0,
+        segment_steps: int = 0,
+        progress=None,
+    ):
+        """Multi-start Adam with ``n_starts`` starts per scene; returns the
+        (S * n_starts, d) scene-major unconstrained parameter matrix."""
+        k = self._per_scene(n_starts, "n_starts")
+        sim = self._sim(self.n_scenes * k)
+        z, _ = fit_map(
+            self.prob_model, sim, optimizer,
+            n_samples=self.n_scenes * k, num_steps=num_steps, seed=seed,
+            mesh=self.mesh, segment_steps=segment_steps, progress=progress,
+        )
+        return z
+
+    def best_per_scene(self, z):
+        """Highest-posterior start of each scene; (S, d)."""
+        sim = self._sim(z.shape[0])
+        S = self.n_scenes
+        k = z.shape[0] // S
+
+        @jax.jit
+        def _best(z):
+            lp, _ = self.prob_model.log_prob(sim, z)
+            lp = jnp.where(jnp.isnan(lp), -jnp.inf, lp).reshape(S, k)
+            return z.reshape(S, k, -1)[jnp.arange(S), jnp.argmax(lp, axis=1)]
+
+        return _best(z)
+
+    def SVI(
+        self,
+        starts,
+        optimizer: optax.GradientTransformation,
+        n_vi: int = 64,
+        init_scales=1e-3,
+        num_steps: int = 300,
+        seed: int = 0,
+        segment_steps: int = 0,
+        full_rank: bool = True,
+        progress=None,
+    ):
+        """Per-scene surrogates; ``starts`` is (S, d) (e.g. ``best_per_scene``).
+        Returns ``(means (S, d), trils (S, d, d), losses (num_steps, S))``."""
+        n_vi = self._per_scene(n_vi, "n_vi")
+        sim = self._sim(self.n_scenes * n_vi)
+        return fit_svi_survey(
+            self.prob_model, sim, starts, optimizer, n_vi=n_vi,
+            init_scales=init_scales, num_steps=num_steps, seed=seed,
+            mesh=self.mesh, segment_steps=segment_steps, full_rank=full_rank,
+            progress=progress,
+        )
+
+    def HMC(
+        self,
+        q_means,
+        q_trils,
+        init_eps: float = 0.3,
+        init_l: int = 3,
+        n_hmc: int = 16,
+        num_burnin_steps: int = 250,
+        num_results: int = 750,
+        max_leapfrog_steps: int = 30,
+        trajectory_adaptation: str = "chees",
+        mass_adaptation: bool = True,
+        init_spread: float = 0.2,
+        seed: int = 0,
+        segment_steps: int = 0,
+        progress=None,
+    ) -> HMCResult:
+        """Sample all scenes in one program: ``n_hmc`` chains per scene,
+        per-scene preconditioning/adaptation via ``sample_hmc(n_groups=S)``.
+
+        ``q_means (S, d)`` / ``q_trils (S, d, d)`` come from :meth:`SVI`.
+        Returns an :class:`HMCResult` whose ``samples`` are
+        (num_results, S * n_hmc, d) scene-major — reshape with
+        :meth:`scene_samples` — and whose ``step_size`` /
+        ``trajectory_length`` are per-scene (S,) vectors."""
+        S = self.n_scenes
+        n_hmc = self._per_scene(n_hmc, "n_hmc chains")
+        sim = self._sim(S * n_hmc, exact=True)
+        key = jax.random.PRNGKey(seed)
+        k_init, k_chain = jax.random.split(key)
+        q_means = jnp.asarray(q_means)
+        q_trils = jnp.asarray(q_trils)
+        d = q_means.shape[-1]
+
+        # contracted per-scene chain starts (same rationale as fit_hmc)
+        @jax.jit
+        def _init(k):
+            eps = jax.random.normal(k, (S, n_hmc, d))
+            z = q_means[:, None] + init_spread * jnp.einsum(
+                "scd,sed->sce", eps, q_trils
+            )
+            return z.reshape(S * n_hmc, d)
+
+        z0 = _init(k_init)
+        if self.mesh is not None and self.mesh.size > 1:
+            z0 = pmesh.shard_samples(z0, self.mesh)
+
+        return sample_hmc(
+            _cached_log_prob_fn(self.prob_model, sim),
+            z0,
+            k_chain,
+            step_size=init_eps,
+            num_leapfrog_steps=init_l,
+            num_burnin_steps=num_burnin_steps,
+            num_results=num_results,
+            momentum_covariance_tril=q_trils,
+            trajectory_adaptation=trajectory_adaptation,
+            max_leapfrog_steps=max_leapfrog_steps,
+            mass_adaptation=mass_adaptation,
+            mesh=self.mesh,
+            segment_steps=segment_steps,
+            progress=progress,
+            n_groups=S,
+        )
+
+    def scene_samples(self, res: HMCResult):
+        """(num_results, S * C, d) -> (S, num_results * C, d) per-scene draws."""
+        T, n, d = res.samples.shape
+        C = n // self.n_scenes
+        return (
+            jnp.swapaxes(res.samples.reshape(T, self.n_scenes, C, d), 0, 1)
+            .reshape(self.n_scenes, T * C, d)
+        )

@@ -185,3 +185,140 @@ def fit_svi(
     losses = jnp.concatenate(losses)
     mean, tril = jax.jit(unpack)(qz_params)
     return MultivariateNormalTriL(mean, tril), losses
+
+
+def fit_svi_survey(
+    prob_model,
+    simulator,
+    starts,
+    optimizer: optax.GradientTransformation,
+    n_vi: int = 64,
+    init_scales=1e-3,
+    num_steps: int = 300,
+    seed: int = 0,
+    mesh=None,
+    segment_steps: int = 0,
+    polyak_fraction: float = 0.25,
+    full_rank: bool = True,
+    progress=None,
+):
+    """Per-scene SVI for survey mode: S independent MVN surrogates optimized
+    jointly in ONE device program.
+
+    ``starts``: (S, d) per-scene initial means (e.g. per-scene MAP);
+    ``prob_model`` must score scene-major batches (S * n_vi rows — see
+    :class:`gigalens_tpu.model.SurveyForwardProbModel`); ``simulator`` must
+    be built with ``bs = S * n_vi``. ``init_scales`` may be a scalar, (d,)
+    diagonal, one (d, d) factor shared by all scenes, or per-scene (S, d, d)
+    (e.g. stacked ``laplace_scale_tril`` outputs). Returns
+    ``(means (S, d), trils (S, d, d), losses (num_steps, S))`` — per-scene
+    ELBO loss histories; the scenes' gradients are independent, so joint
+    optimization matches S separate fits at the same step budget while
+    keeping the TPU batch full.
+    """
+    import numpy as np
+
+    starts = jnp.asarray(starts)
+    S, d = starts.shape
+    scale0 = np.asarray(init_scales, np.float32)
+    if scale0.size == 1:
+        scale0 = np.broadcast_to(np.eye(d, dtype=np.float32) * float(scale0), (S, d, d))
+    elif scale0.ndim == 1:
+        scale0 = np.broadcast_to(np.diag(scale0), (S, d, d))
+    elif scale0.ndim == 2:
+        scale0 = np.broadcast_to(scale0, (S, d, d))
+    cov_bij = FillScaleTriL(d, diag_shift=1e-6)
+
+    if full_rank:
+        @jax.jit
+        def _init(starts, scale0):
+            raw = jax.vmap(cov_bij.inverse)(scale0)  # (S, d(d+1)/2)
+            return jnp.concatenate([starts, raw], axis=1)
+
+        def unpack(qz_params):
+            return qz_params[:, :d], jax.vmap(cov_bij.forward)(qz_params[:, d:])
+
+    else:
+        @jax.jit
+        def _init(starts, scale0):
+            diag0 = jnp.maximum(jnp.sqrt(jnp.sum(scale0**2, axis=-1)), 1e-8)
+            return jnp.concatenate([starts, jnp.log(diag0)], axis=1)
+
+        def unpack(qz_params):
+            tril = jax.vmap(jnp.diag)(jnp.exp(qz_params[:, d:]) + 1e-6)
+            return qz_params[:, :d], tril
+
+    qz_params = _init(starts, jnp.asarray(scale0))
+    half_log_2pi_d = 0.5 * d * jnp.log(2 * jnp.pi)
+
+    def elbo_loss(qz_params, key):
+        mean, tril = unpack(qz_params)  # (S, d), (S, d, d)
+        eps = jax.random.normal(key, (S, n_vi, d))
+        z = mean[:, None] + jnp.einsum("snd,sed->sne", eps, tril)
+        z = pmesh.constrain_samples(z.reshape(S * n_vi, d), mesh)
+        lp_q = (
+            -0.5 * jnp.sum(eps**2, axis=-1)  # (S, n_vi)
+            - jnp.sum(
+                jnp.log(jnp.abs(jnp.diagonal(tril, axis1=-2, axis2=-1))), axis=-1
+            )[:, None]
+            - half_log_2pi_d
+        )
+        lp_model, _ = prob_model.log_prob(simulator, z)
+        per_scene = jnp.mean(lp_q - lp_model.reshape(S, n_vi), axis=1)  # (S,)
+        # sum of independent per-scene ELBO losses: each scene's surrogate
+        # receives exactly the gradient of its own ELBO
+        return jnp.sum(per_scene), per_scene
+
+    grad_fn = jax.value_and_grad(elbo_loss, has_aux=True)
+    avg_start = int(num_steps * (1.0 - polyak_fraction)) if polyak_fraction > 0 else num_steps
+
+    def step(carry, key):
+        qz_params, opt_state, avg, n_avg, t = carry
+        (_, per_scene), grads = grad_fn(qz_params, key)
+        updates, opt_state = optimizer.update(grads, opt_state, qz_params)
+        qz_params = optax.apply_updates(qz_params, updates)
+        take = (t >= avg_start).astype(qz_params.dtype)
+        avg = avg + take * qz_params
+        n_avg = n_avg + take
+        return (qz_params, opt_state, avg, n_avg, t + 1), per_scene
+
+    n_seg = segment_steps if segment_steps > 0 else num_steps
+
+    def make_runner(length):
+        @jax.jit
+        def run_segment(carry, key):
+            keys = jax.random.split(key, length)
+            return jax.lax.scan(step, carry, keys)
+
+        return run_segment
+
+    run_full = make_runner(n_seg)
+    carry = (qz_params, jax.jit(optimizer.init)(qz_params),
+             jnp.zeros_like(qz_params), jnp.zeros((), qz_params.dtype),
+             jnp.asarray(0))
+    key = jax.random.PRNGKey(seed)
+    losses, steps_done = [], 0
+    for _ in range(num_steps // n_seg):
+        key, k_seg = jax.random.split(key)
+        carry, seg_losses = run_full(carry, k_seg)
+        losses.append(seg_losses)
+        steps_done += n_seg
+        if progress is not None:
+            jax.block_until_ready(seg_losses)
+            progress(steps_done, float(jnp.max(seg_losses[-1])))
+    rem = num_steps % n_seg
+    if rem:
+        key, k_seg = jax.random.split(key)
+        carry, seg_losses = make_runner(rem)(carry, k_seg)
+        losses.append(seg_losses)
+        steps_done += rem
+        if progress is not None:
+            jax.block_until_ready(seg_losses)
+            progress(steps_done, float(jnp.max(seg_losses[-1])))
+    qz_params, _, avg, n_avg, _ = carry
+    if polyak_fraction > 0:
+        qz_params = jax.jit(lambda a, n, q: jnp.where(n > 0, a / jnp.maximum(n, 1), q))(
+            avg, n_avg, qz_params
+        )
+    mean, tril = jax.jit(unpack)(qz_params)
+    return mean, tril, jnp.concatenate(losses)

@@ -235,6 +235,85 @@ class ForwardProbModel(VersionedAttrs):
         return _Bij()
 
 
+class SurveyForwardProbModel(ForwardProbModel):
+    """Scene-batched pixel likelihood: one probabilistic model scoring S
+    independent observations in a single device program.
+
+    Survey mode (beyond the reference, which fits one system per process):
+    ``observed_images`` has shape (S, H, W) and every parameter batch ``z``
+    must be **scene-major** with ``bs = S * K`` rows — K samples (MAP starts /
+    ELBO draws / HMC chains) per scene, scene index varying slowest. Row
+    ``s * K + k`` is scored against ``observed_images[s]``. All scenes share
+    the camera geometry (``SimulatorConfig``) and the physical model family;
+    ``background_rms``/``exp_time`` (or ``error_map`` of shape (S, H, W)) may
+    be scalars shared across scenes or per-scene arrays of shape (S,).
+
+    The pixel-stat math is identical to :class:`ForwardProbModel` — the
+    renders are simply reshaped (S, K, H, W) against (S, 1, H, W) data — so
+    per-sample log-likelihoods match the single-scene model exactly
+    (tested in tests/test_survey.py). Position likelihoods are not supported
+    in survey mode.
+    """
+
+    def __init__(
+        self,
+        prior: Prior,
+        observed_images,
+        background_rms=None,
+        exp_time=None,
+        error_map=None,
+    ):
+        observed_images = jnp.asarray(observed_images, jnp.float32)
+        if observed_images.ndim != 3:
+            raise ValueError(
+                f"observed_images must be (S, H, W); got {observed_images.shape}"
+            )
+        super().__init__(
+            prior,
+            observed_image=observed_images,
+            background_rms=(
+                None if background_rms is None else jnp.asarray(background_rms)
+            ),
+            exp_time=None if exp_time is None else jnp.asarray(exp_time),
+            error_map=error_map,
+            include_pixels=True,
+            include_positions=False,
+        )
+        self.n_scenes = int(observed_images.shape[0])
+
+    def stats_pixels(self, simulator, params):
+        im_sim = simulator.simulate(params)  # (S*K, H, W)
+        S = self.n_scenes
+        if im_sim.shape[0] % S:
+            raise ValueError(
+                f"batch {im_sim.shape[0]} is not a multiple of n_scenes={S}"
+            )
+        K = im_sim.shape[0] // S
+        im = im_sim.reshape(S, K, *im_sim.shape[1:])
+        obs = self.observed_image[:, None]  # (S, 1, H, W)
+        if self.error_map is not None:
+            err_map = self.error_map[:, None]
+        else:
+            bkg = jnp.reshape(self.background_rms, (-1, 1, 1, 1))  # (S or 1,1,1,1)
+            exp_t = jnp.reshape(self.exp_time, (-1, 1, 1, 1))
+            err_map = jnp.sqrt(bkg**2 + im / exp_t)
+        mask = simulator.img_region
+        resid = (im - obs) / err_map
+        chi2 = jnp.sum(resid**2 * mask, axis=(-2, -1))  # (S, K)
+        normalization = jnp.sum(
+            jnp.log(2 * np.pi * err_map**2) * mask, axis=(-2, -1)
+        )
+        log_like = -0.5 * (chi2 + jnp.broadcast_to(normalization, chi2.shape))
+        red_chi2 = chi2 / simulator.n_live_pix
+        return log_like.reshape(S * K), red_chi2.reshape(S * K)
+
+    def stats_positions(self, simulator, params):
+        raise NotImplementedError(
+            "SurveyForwardProbModel scores pixel data only; fit systems with "
+            "position constraints individually with ForwardProbModel"
+        )
+
+
 class BackwardProbModel(VersionedAttrs):
     """Likelihood with observed-image noise and lstsq linear amplitudes."""
 
