@@ -115,10 +115,11 @@ jax.block_until_ready(best)
 t_map = time.time() - t0
 
 t0 = time.time()
+L0 = seq.laplace_scale_trils(best)  # per-scene curvature init (host CPU)
 sched = optax.polynomial_schedule(-1e-6, -3e-3, 2, max(vi_steps // 5, 1))
 opt2 = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(sched))
 means, trils, losses = seq.SVI(
-    best, opt2, n_vi=vi_n, num_steps=vi_steps, init_scales=1e-2, seed=1
+    best, opt2, n_vi=vi_n, num_steps=vi_steps, init_scales=L0, seed=1
 )
 jax.block_until_ready(losses)
 t_svi = time.time() - t0

@@ -185,6 +185,43 @@ def laplace_scale_tril(prob_model, simulator, z_best, floor_ratio: float = 1e-6,
     return _laplace(z_best)
 
 
+def laplace_scale_trils_survey(prob_model, simulator, z_best,
+                               floor_ratio: float = 1e-6):
+    """Per-scene Laplace factors for survey mode: FD Hessians of all S scenes
+    from ONE scene-major gradient batch.
+
+    ``z_best``: (S, d) per-scene MAP points (``SurveySequence.best_per_scene``);
+    ``prob_model`` must be scene-batched (``SurveyForwardProbModel``) and
+    ``simulator`` built with ``bs = S * 2d`` (the per-scene central-difference
+    batch, K = 2d rows per scene). Returns (S, d, d) Cholesky factors of the
+    floored inverse Hessians — per-scene ``init_scales`` for
+    :func:`gigalens_tpu.inference.svi.fit_svi_survey` and the HMC
+    preconditioners of last resort. Same math per scene as
+    :func:`laplace_scale_tril` with ``method="fd"``.
+    """
+    z_best = jnp.asarray(z_best)
+    S, d = z_best.shape
+
+    def grads_at(zb):
+        f = lambda z: -jnp.sum(prob_model.log_prob(simulator, z)[0])
+        return jax.grad(f)(zb)
+
+    @jax.jit
+    def _go(zs):
+        hstep = 1e-3 * jnp.maximum(jnp.abs(zs), 1.0)  # (S, d)
+        pert = hstep[:, :, None] * jnp.eye(d, dtype=zs.dtype)  # (S, d, d)
+        zp = zs[:, None, :] + pert
+        zm = zs[:, None, :] - pert
+        batch = jnp.concatenate([zp, zm], axis=1).reshape(S * 2 * d, d)
+        g = grads_at(batch).reshape(S, 2 * d, d)
+        h = (g[:, :d] - g[:, d:]) / (2.0 * hstep[:, :, None])  # (S, d, d)
+        return jax.vmap(_floored_inv_chol, in_axes=(0, None, None))(
+            h, d, floor_ratio
+        )
+
+    return _go(z_best)
+
+
 def best_start(prob_model, simulator, z) -> jnp.ndarray:
     """Selects the highest-posterior sample; returns it shaped (1, d)."""
 

@@ -115,6 +115,32 @@ class SurveySequence:
 
         return _best(z)
 
+    def laplace_scale_trils(self, z_best):
+        """Per-scene Laplace factors at the per-scene MAPs — the recommended
+        ``init_scales`` for :meth:`SVI` (same measured rationale as
+        ``ModellingSequence.laplace_scale_tril``: a deterministic
+        curvature-based initializer cuts the SVI step budget ~5x and removes
+        the step-size-collapse seeds that a half-converged isotropic-init
+        surrogate produces). Runs on the host CPU backend where the (tiny)
+        programs compile locally and persistent-cache; one FD gradient batch
+        covers all scenes (``laplace_scale_trils_survey``)."""
+        import numpy as np
+
+        from gigalens_tpu.inference.map import laplace_scale_trils_survey
+
+        cfg = dataclasses.replace(
+            self.sim_config, use_fused_render=False, psf_mode="fft"
+        )
+        z_best = np.asarray(z_best)
+        d = z_best.shape[-1]
+        cpus = jax.devices("cpu")
+        with jax.default_device(cpus[0]):
+            sim = LensSimulator(self.phys_model, cfg, bs=self.n_scenes * 2 * d)
+            L = laplace_scale_trils_survey(
+                self.prob_model, sim, jax.device_put(z_best, cpus[0])
+            )
+        return np.asarray(L)
+
     def SVI(
         self,
         starts,

@@ -111,6 +111,26 @@ def test_survey_per_scene_error_arrays(survey_setup):
         )
 
 
+def test_survey_laplace_matches_single_scene(survey_setup):
+    """laplace_scale_trils (one scene-batched FD program) == per-scene
+    laplace_scale_tril(method='fd')."""
+    from gigalens_tpu.inference import ModellingSequence
+
+    prior, phys, cfg, truths, obs, bkg, exp_t = survey_setup
+    spm = SurveyForwardProbModel(prior, obs, background_rms=bkg, exp_time=exp_t)
+    seq = SurveySequence(phys, spm, cfg)
+    z_best = prior.unconstrain(prior.sample(jax.random.PRNGKey(3), 2))
+    Ls = seq.laplace_scale_trils(z_best)
+    assert Ls.shape == (2, prior.d, prior.d)
+    for s in range(2):
+        pm = ForwardProbModel(prior, obs[s], background_rms=bkg, exp_time=exp_t)
+        one = ModellingSequence(phys, pm, cfg)
+        L1 = one.laplace_scale_tril(z_best[s][None], method="fd")
+        # rtol for the curvature scales; atol absorbs FD noise on near-zero
+        # off-diagonal elements (observed ~2e-5 on otherwise exact factors)
+        np.testing.assert_allclose(Ls[s], L1, rtol=2e-2, atol=1e-4)
+
+
 def test_grouped_hmc_per_group_adaptation():
     """sample_hmc(n_groups=2) adapts each group to its own geometry and
     recovers per-group Gaussian posteriors (scales 30x apart)."""
