@@ -109,7 +109,7 @@ def _hmc_programs(
     step_size,
     num_leapfrog_steps,
     num_adaptation_steps,
-    switch_t,
+    switch_ts,
     do_mass,
     chees,
     target_accept,
@@ -204,7 +204,7 @@ def _hmc_programs(
         )
 
     def step(carry, inp):
-        z, lp, grad, da, ch, t, tril, tril0, s1, s2, cnt, z_ref, div = carry
+        z, lp, grad, da, ch, t, tril, s1, s2, cnt, z_ref, div = carry
         key, h = inp
         k_mom, k_acc = jax.random.split(key)
 
@@ -289,22 +289,24 @@ def _hmc_programs(
 
         if do_mass:
             # pool chain states for the covariance re-estimate; moments are
-            # accumulated CENTERED on the initial chain mean z_ref — with
-            # z ~ O(10) and small moves, raw E[zz^T] - mm^T cancels
+            # accumulated CENTERED on the window-start chain mean z_ref —
+            # with z ~ O(10) and small moves, raw E[zz^T] - mm^T cancels
             # catastrophically in float32 and goes non-PD
-            in_window = t < switch_t
+            in_window = t < switch_ts[-1]
             zc = grp(z) - z_ref[:, None]  # (G, C, d)
             s1 = jnp.where(in_window, s1 + jnp.sum(zc, axis=1), s1)
             s2 = jnp.where(in_window, s2 + jnp.einsum("gcd,gce->gde", zc, zc), s2)
             cnt = jnp.where(in_window, cnt + C, cnt)
 
             def _switch(args):
-                tril, da, ch = args
+                tril, da, ch, s1, s2, cnt, z_ref = args
                 m = s1 / cnt[:, None]
                 cov_est = s2 / cnt[:, None, None] - jnp.einsum("gd,ge->gde", m, m)
-                # shrink toward the initial (VI) covariance, Stan-style
+                # shrink toward the current preconditioner's covariance,
+                # Stan-style (= the initial VI/Laplace covariance at the
+                # first window, the previous window's estimate afterwards)
                 w = (cnt / (cnt + 5.0 * d))[:, None, None]
-                cov = w * cov_est + (1.0 - w) * (tril0 @ jnp.swapaxes(tril0, -1, -2))
+                cov = w * cov_est + (1.0 - w) * (tril @ jnp.swapaxes(tril, -1, -2))
                 tr = jnp.trace(cov, axis1=-2, axis2=-1)[:, None, None]
                 cov = cov + 1e-3 * (tr / d) * jnp.eye(d, dtype=cov.dtype)
                 tril_new = jnp.linalg.cholesky(cov)
@@ -313,19 +315,27 @@ def _hmc_programs(
                 tril_new = jnp.where(bad, tril, tril_new)
                 # restart step-size adaptation at the current step size; the
                 # trajectory length is in preconditioned time units, so reset
-                # it too (ChEES re-adapts in the remaining window)
+                # it too (ChEES re-adapts in the remaining window). Moment
+                # accumulators restart, re-centered on the current state —
+                # each window estimates from its own (better-mixed) samples
                 eps_cur = jnp.exp(da.log_eps)
                 ch_new = ChEESState(
                     jnp.log(num_leapfrog_steps * eps_cur),
                     jnp.zeros_like(eps_cur), jnp.zeros_like(eps_cur),
                 )
-                return tril_new, _da_init(eps_cur, t_start=t), ch_new
+                return (tril_new, _da_init(eps_cur, t_start=t), ch_new,
+                        jnp.zeros_like(s1), jnp.zeros_like(s2),
+                        jnp.zeros_like(cnt), jnp.mean(grp(z), axis=1))
 
-            tril, da, ch = jax.lax.cond(
-                t == switch_t, _switch, lambda args: args, (tril, da, ch)
+            is_switch = jnp.asarray(False)
+            for st in switch_ts:
+                is_switch = is_switch | (t == st)
+            tril, da, ch, s1, s2, cnt, z_ref = jax.lax.cond(
+                is_switch, _switch, lambda args: args,
+                (tril, da, ch, s1, s2, cnt, z_ref),
             )
         return (
-            (z, lp, grad, da, ch, t + 1, tril, tril0, s1, s2, cnt, z_ref, div),
+            (z, lp, grad, da, ch, t + 1, tril, s1, s2, cnt, z_ref, div),
             (z, jnp.mean(accept_prob_c)),
         )
 
@@ -339,7 +349,7 @@ def _hmc_programs(
             jnp.zeros((G,)),
         )
         return (z0, lp0, grad0, da0, ch0, jnp.asarray(0),
-                tril0, tril0, jnp.zeros((G, d)), jnp.zeros((G, d, d)),
+                tril0, jnp.zeros((G, d)), jnp.zeros((G, d, d)),
                 jnp.zeros((G,)), jnp.mean(grp(z0), axis=1),
                 jnp.zeros((n_chains,), jnp.int32))
 
@@ -396,11 +406,14 @@ def sample_hmc(
     is Sigma p — so an ill-conditioned Sigma is never inverted (float32-safe
     even when VI has not fully converged).
 
-    ``mass_adaptation`` adds Stan-style windowed warmup: halfway through the
-    adaptation window the momentum covariance is re-estimated from the pooled
-    chain samples (shrunk toward the initial Sigma) and step-size adaptation
-    restarts — this rescues runs where the VI covariance overestimates some
-    direction, which otherwise collapses the step size for every direction."""
+    ``mass_adaptation`` adds Stan-style windowed warmup: the momentum
+    covariance is re-estimated from the pooled chain samples (shrunk toward
+    the current preconditioner) and step-size adaptation restarts — this
+    rescues runs where the VI covariance overestimates some direction, which
+    otherwise collapses the step size for every direction. Pass an int for
+    multiple warmup windows (True == 1 switch halfway through adaptation;
+    ``k`` switches sit at fractions 1/(k+1)..k/(k+1)); extra windows give a
+    collapsed step size additional recovery points."""
     n_chains, d = z0.shape
     if n_chains % n_groups:
         raise ValueError(f"{n_chains} chains do not divide into {n_groups} groups")
@@ -408,8 +421,20 @@ def sample_hmc(
         num_adaptation_steps = int(0.8 * num_burnin_steps)
     total_steps = num_burnin_steps + num_results
     chees = trajectory_adaptation == "chees"
-    switch_t = num_adaptation_steps // 2 if mass_adaptation else -1
-    do_mass = mass_adaptation and num_adaptation_steps >= 20
+    # mass_adaptation: False, or the number of Stan-style warmup windows
+    # (True == 1, the round-1 behavior: one covariance re-estimate halfway
+    # through adaptation). More windows give a collapsed step size more
+    # chances to recover: each switch re-estimates from the latest window's
+    # samples, restarts dual averaging at the current eps with a fresh
+    # shrinkage anchor, and re-centers the moment accumulators.
+    windows = int(mass_adaptation)
+    switch_ts = tuple(
+        num_adaptation_steps * (k + 1) // (windows + 1) for k in range(windows)
+    )
+    switch_ts = tuple(sorted({st for st in switch_ts if st >= 10}))
+    do_mass = bool(switch_ts) and num_adaptation_steps >= 20
+    if not do_mass:
+        switch_ts = (-1,)
 
     if momentum_covariance_tril is not None:
         tril = jnp.asarray(momentum_covariance_tril, z0.dtype)
@@ -429,7 +454,7 @@ def sample_hmc(
 
     init_carry, run_segment = _hmc_programs(
         log_prob_fn, n_chains, d, float(step_size), num_leapfrog_steps,
-        num_adaptation_steps, switch_t, do_mass, chees, target_accept,
+        num_adaptation_steps, switch_ts, do_mass, chees, target_accept,
         accept_reduction, max_leapfrog_steps, chees_lr, mesh, n_groups,
     )
 
@@ -446,7 +471,7 @@ def sample_hmc(
         if progress is not None:
             jax.block_until_ready(acc)
             progress(hi, float(jnp.mean(acc)))
-    zf, _, _, da, ch, _, _, _, _, _, _, _, div = carry
+    zf, _, _, da, ch, _, _, _, _, _, _, div = carry
     zs = jnp.concatenate(zs_parts)
     acc = jnp.concatenate(acc_parts)
     final_eps = jnp.exp(da.log_eps_bar)
