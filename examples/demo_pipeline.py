@@ -152,3 +152,9 @@ print("\nparameter            truth    post mean   post std   z-score")
 for i, n in enumerate(names):
     m, s = post[:, i].mean(), post[:, i].std()
     print(f"{n:22s} {z_true[i]:8.3f} {m:10.3f} {s:10.3f} {abs(m-z_true[i])/max(s,1e-6):8.2f}")
+
+from gigalens_tpu.utils import format_summary, summarize_posterior
+
+print("\nphysical-space posterior summary:")
+print(format_summary(summarize_posterior(prior, res.samples,
+                                         divergences=res.divergences)))

@@ -67,3 +67,33 @@ def test_pipeline_checkpointer(tmp_path):
     r2 = cp.run_hmc(lambda: res)
     r3 = cp.run_hmc(lambda: (_ for _ in ()).throw(AssertionError))
     np.testing.assert_allclose(r2.samples, r3.samples)
+
+
+def test_summarize_posterior_names_and_values(demo_prior):
+    """Summary keys follow the prior's column names; constrained stats match
+    directly computed ones; global block carries rhat/ess/divergences."""
+    from gigalens_tpu.utils import format_summary, summarize_posterior
+
+    d = demo_prior.d
+    key = jax.random.PRNGKey(0)
+    # synthetic "chains": prior draws arranged as (T, C, d)
+    z = demo_prior.unconstrain(demo_prior.sample(key, 40 * 4))
+    chains = jnp.reshape(z, (40, 4, d))
+    s = summarize_posterior(demo_prior, chains, divergences=jnp.asarray([0, 2]))
+    names = demo_prior.column_names()
+    assert set(names) <= set(s.keys())
+    assert "lens_mass/0/theta_E" in s
+    assert s["_global"]["divergences"] == 2
+    assert s["_global"]["max_rhat"] >= 1.0 - 1e-3
+    # theta_E stats in PHYSICAL space: recompute directly
+    x = demo_prior.constrain(jnp.reshape(chains, (-1, d)))
+    te = np.asarray(x["lens_mass"][0]["theta_E"])
+    np.testing.assert_allclose(s["lens_mass/0/theta_E"]["mean"], te.mean(),
+                               rtol=1e-5)
+    np.testing.assert_allclose(s["lens_mass/0/theta_E"]["q50"],
+                               np.quantile(te, 0.5), rtol=1e-4)
+    # flat (n, d) input: no rhat/ess keys
+    s2 = summarize_posterior(demo_prior, z)
+    assert "rhat" not in s2["lens_mass/0/theta_E"]
+    txt = format_summary(s)
+    assert "theta_E" in txt and "max_rhat" in txt
