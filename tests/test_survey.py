@@ -199,3 +199,30 @@ def test_survey_pipeline_recovers_truths(survey_setup):
     chi2_swap = np.asarray(chi2_swap)
     assert (chi2_own < 1.5).all(), chi2_own
     assert (chi2_swap > 5 * chi2_own[::-1]).all(), (chi2_own, chi2_swap)
+
+
+def test_survey_sharded_matches_single_device(survey_setup):
+    """Survey MAP + grouped HMC on the 8-device mesh == 1-device mesh (same
+    seeds); the scene-major flat batch shards like any sample axis."""
+    from gigalens_tpu.parallel import default_mesh
+
+    prior, phys, cfg, truths, obs, bkg, exp_t = survey_setup
+    spm = SurveyForwardProbModel(prior, obs, background_rms=bkg, exp_time=exp_t)
+    mesh8 = default_mesh()
+    mesh1 = default_mesh(jax.devices()[:1])
+
+    import optax
+
+    res = {}
+    for name, mesh in [("m8", mesh8), ("m1", mesh1)]:
+        seq = SurveySequence(phys, spm, cfg, mesh=mesh)
+        z = seq.MAP(optax.adam(1e-3), n_starts=8, num_steps=4, seed=0)
+        best = seq.best_per_scene(z)
+        means, trils, _ = seq.SVI(best, optax.adam(1e-3), n_vi=8, num_steps=3,
+                                  init_scales=1e-2, seed=1)
+        r = seq.HMC(means, trils, n_hmc=8, num_burnin_steps=4, num_results=4,
+                    seed=2)
+        res[name] = (np.asarray(z), np.asarray(means), np.asarray(r.samples),
+                     np.asarray(r.step_size))
+    for a, b in zip(res["m8"], res["m1"]):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
