@@ -265,10 +265,11 @@ def _hmc_programs(
         z = pmesh.constrain_samples(z, mesh)
 
         # Endpoint-energy divergence count (post-adaptation only): a proposal
-        # whose |dH| exceeds 25 nats is effectively unacceptable and marks a
-        # chain in pathological curvature
+        # whose |dH| exceeds 25 nats marks a chain in pathological curvature —
+        # both signs count (large energy LOSS is equally broken integration,
+        # it just happens to be accepted); NaN energies arrive here as -inf
         div = div + jnp.where(
-            (t >= num_adaptation_steps) & (flat(log_accept) < -25.0), 1, 0
+            (t >= num_adaptation_steps) & (jnp.abs(flat(log_accept)) > 25.0), 1, 0
         ).astype(jnp.int32)
 
         # Cross-chain reduction feeding dual averaging, per group. Mean

@@ -20,6 +20,55 @@ from gigalens_tpu.parallel import mesh as pmesh
 from gigalens_tpu.simulator import LensSimulator
 
 
+def phase_simulator(cache: dict, sim_config, phys_model, bs: int,
+                    exact: bool = False) -> LensSimulator:
+    """Memoized phase simulator, shared by ``ModellingSequence`` and
+    ``SurveySequence``. ``exact=True`` (HMC/SMC) pins the auto PSF path to
+    an f32-exact convolution: the fast DFT matmul path runs single-pass
+    bf16 on the MXU and carries ~0.3 nats of likelihood noise — harmless
+    to the stochastic optimizers, fatal to Metropolis-Hastings acceptance
+    (measured: leapfrog |dH| 0.2-0.6 under bf16-DFT vs 0.02-0.08 under
+    FFT at identical step sizes, which collapses dual averaging).
+    ``dft_hi`` (Precision.HIGHEST matmuls) is f32-exact in absolute terms
+    but measured ~2x rougher than FFT along leapfrog trajectories
+    (|dlogL| vs FFT 0.04-0.12 nats), which shrank the adapted step size
+    0.143 -> 0.110 and cost 4x ESS on the benchmark for only a 6%
+    per-gradient saving — so the exact path stays FFT.
+
+    The fused Pallas render (with the FFT conv) *is* allowed on the exact
+    path: a round-1 single-seed A/B attributed an ESS drop to it, but
+    min-ESS has ~2x seed-to-seed spread and the 3-seed rerun
+    (scripts/bench_hmc_ab_seeds.py, v5e) shows it matches or beats the
+    unfused path in ESS/sec at every chain count — median 107 vs 88.6
+    (100 vs 50 chains) with identical posterior quality, and its
+    per-gradient cost scales flat to 800 samples (64 us/chain vs the
+    unfused path's blow-up past 100). Explicit sim_config choices are
+    always respected.
+
+    Memo hit requires the SAME config/model objects (identity, plus the
+    model's attribute version): rebinding seq.sim_config or seq.phys_model
+    (or an attribute on the model) after a phase call must not silently
+    reuse a simulator built from the old configuration. The value pins the
+    keyed objects so a hit can verify identity (no id-recycling false
+    positives)."""
+    key = (bs, exact, getattr(phys_model, "_version", 0))
+    hit = cache.get(key)
+    if hit is not None and hit[0] is sim_config and hit[1] is phys_model:
+        return hit[2]
+    cfg = sim_config
+    if exact:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            psf_mode="fft" if (cfg.psf_mode is None and cfg.use_fft is None)
+            else cfg.psf_mode,
+        )
+    sim = LensSimulator(phys_model, cfg, bs=bs)
+    cache[key] = (sim_config, phys_model, sim)
+    return sim
+
+
 class ModellingSequence:
     def __init__(self, phys_model, prob_model, sim_config, mesh=None):
         self.phys_model = phys_model
@@ -33,49 +82,9 @@ class ModellingSequence:
         self._sims = {}
 
     def _sim(self, bs: int, exact: bool = False) -> LensSimulator:
-        """Phase simulator. ``exact=True`` (HMC/SMC) pins the auto PSF path to
-        an f32-exact convolution: the fast DFT matmul path runs single-pass
-        bf16 on the MXU and carries ~0.3 nats of likelihood noise — harmless
-        to the stochastic optimizers, fatal to Metropolis-Hastings acceptance
-        (measured: leapfrog |dH| 0.2-0.6 under bf16-DFT vs 0.02-0.08 under
-        FFT at identical step sizes, which collapses dual averaging).
-        ``dft_hi`` (Precision.HIGHEST matmuls) is f32-exact in absolute terms
-        but measured ~2x rougher than FFT along leapfrog trajectories
-        (|dlogL| vs FFT 0.04-0.12 nats), which shrank the adapted step size
-        0.143 -> 0.110 and cost 4x ESS on the benchmark for only a 6%
-        per-gradient saving — so the exact path stays FFT.
-
-        The fused Pallas render (with the FFT conv) *is* allowed on the exact
-        path: a round-1 single-seed A/B attributed an ESS drop to it, but
-        min-ESS has ~2x seed-to-seed spread and the 3-seed rerun
-        (scripts/bench_hmc_ab_seeds.py, v5e) shows it matches or beats the
-        unfused path in ESS/sec at every chain count — median 107 vs 88.6
-        (100 vs 50 chains) with identical posterior quality, and its
-        per-gradient cost scales flat to 800 samples (64 us/chain vs the
-        unfused path's blow-up past 100). Explicit sim_config choices are
-        always respected."""
-        # memo hit requires the SAME config/model objects (identity, plus the
-        # model's attribute version): rebinding seq.sim_config or
-        # seq.phys_model (or an attribute on the model) after a phase call
-        # must not silently reuse a simulator built from the old
-        # configuration. The value pins the keyed objects so a hit can
-        # verify identity (no id-recycling false positives).
-        key = (bs, exact, getattr(self.phys_model, "_version", 0))
-        hit = self._sims.get(key)
-        if hit is not None and hit[0] is self.sim_config and hit[1] is self.phys_model:
-            return hit[2]
-        cfg = self.sim_config
-        if exact:
-            import dataclasses
-
-            cfg = dataclasses.replace(
-                cfg,
-                psf_mode="fft" if (cfg.psf_mode is None and cfg.use_fft is None)
-                else cfg.psf_mode,
-            )
-        sim = LensSimulator(self.phys_model, cfg, bs=bs)
-        self._sims[key] = (self.sim_config, self.phys_model, sim)
-        return sim
+        """See :func:`phase_simulator` for the exact/fast PSF-path policy."""
+        return phase_simulator(self._sims, self.sim_config, self.phys_model,
+                               bs, exact)
 
     def MAP(
         self,

@@ -35,6 +35,7 @@ import optax
 
 from gigalens_tpu.inference.hmc import HMCResult, _cached_log_prob_fn, sample_hmc
 from gigalens_tpu.inference.map import fit_map
+from gigalens_tpu.inference.sequence import phase_simulator
 from gigalens_tpu.inference.svi import fit_svi_survey
 from gigalens_tpu.model import SurveyForwardProbModel
 from gigalens_tpu.parallel import mesh as pmesh
@@ -59,22 +60,10 @@ class SurveySequence:
         self._sims = {}
 
     def _sim(self, bs: int, exact: bool = False) -> LensSimulator:
-        """Same exact/fast PSF-path policy as ``ModellingSequence._sim``
-        (see that docstring for the measured rationale)."""
-        key = (bs, exact, getattr(self.phys_model, "_version", 0))
-        hit = self._sims.get(key)
-        if hit is not None and hit[0] is self.sim_config and hit[1] is self.phys_model:
-            return hit[2]
-        cfg = self.sim_config
-        if exact:
-            cfg = dataclasses.replace(
-                cfg,
-                psf_mode="fft" if (cfg.psf_mode is None and cfg.use_fft is None)
-                else cfg.psf_mode,
-            )
-        sim = LensSimulator(self.phys_model, cfg, bs=bs)
-        self._sims[key] = (self.sim_config, self.phys_model, sim)
-        return sim
+        """Shared exact/fast PSF-path policy — see
+        :func:`gigalens_tpu.inference.sequence.phase_simulator`."""
+        return phase_simulator(self._sims, self.sim_config, self.phys_model,
+                               bs, exact)
 
     def _per_scene(self, k: int, what: str) -> int:
         """Round the per-scene batch so the flat scene-major batch divides

@@ -19,6 +19,73 @@ from gigalens_tpu.prob.bijectors import FillScaleTriL
 from gigalens_tpu.prob.distributions import MultivariateNormalTriL
 
 
+def _run_adam_scan(loss_and_grad, params0, optimizer, num_steps, seed,
+                   segment_steps, polyak_fraction, progress, progress_value):
+    """Segmented device-resident Adam scan with Polyak tail averaging —
+    the driver loop shared by :func:`fit_svi` and :func:`fit_svi_survey`.
+
+    ``loss_and_grad(params, key) -> (recorded_loss, grads)``;
+    ``progress_value(seg_losses)`` extracts the float handed to the
+    ``progress`` callback. Returns ``(final_params, concatenated_losses)``.
+    """
+    avg_start = (int(num_steps * (1.0 - polyak_fraction))
+                 if polyak_fraction > 0 else num_steps)
+
+    def step(carry, key):
+        params, opt_state, avg, n_avg, t = carry
+        loss_out, grads = loss_and_grad(params, key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        take = (t >= avg_start).astype(params.dtype)
+        avg = avg + take * params
+        n_avg = n_avg + take
+        return (params, opt_state, avg, n_avg, t + 1), loss_out
+
+    n_seg = segment_steps if segment_steps > 0 else num_steps
+
+    def make_runner(length):
+        @jax.jit
+        def run_segment(carry, key):
+            keys = jax.random.split(key, length)
+            return jax.lax.scan(step, carry, keys)
+
+        return run_segment
+
+    run_full = make_runner(n_seg)
+    carry = (params0, jax.jit(optimizer.init)(params0),
+             jnp.zeros_like(params0), jnp.zeros((), params0.dtype),
+             jnp.asarray(0))
+    key = jax.random.PRNGKey(seed)
+    losses, steps_done = [], 0
+
+    def _report(seg_losses):
+        # per-segment live feedback — parity with the reference's tqdm ELBO
+        # postfix (jax/inference.py:132-139)
+        if progress is not None:
+            jax.block_until_ready(seg_losses)
+            progress(steps_done, progress_value(seg_losses))
+
+    for _ in range(num_steps // n_seg):
+        key, k_seg = jax.random.split(key)
+        carry, seg_losses = run_full(carry, k_seg)
+        losses.append(seg_losses)
+        steps_done += n_seg
+        _report(seg_losses)
+    rem = num_steps % n_seg
+    if rem:
+        key, k_seg = jax.random.split(key)
+        carry, seg_losses = make_runner(rem)(carry, k_seg)
+        losses.append(seg_losses)
+        steps_done += rem
+        _report(seg_losses)
+    params, _, avg, n_avg, _ = carry
+    if polyak_fraction > 0:
+        params = jax.jit(
+            lambda a, n, q: jnp.where(n > 0, a / jnp.maximum(n, 1), q)
+        )(avg, n_avg, params)
+    return params, jnp.concatenate(losses)
+
+
 def fit_svi(
     prob_model,
     simulator,
@@ -120,69 +187,11 @@ def fit_svi(
         lp_model, _ = prob_model.log_prob(simulator, z)
         return jnp.mean(lp_q - lp_model)
 
-    grad_fn = jax.value_and_grad(elbo_loss)
-
-    avg_start = int(num_steps * (1.0 - polyak_fraction)) if polyak_fraction > 0 else num_steps
-
-    def step(carry, inp):
-        qz_params, opt_state, avg, n_avg, t = carry
-        key = inp
-        loss, grads = grad_fn(qz_params, key)
-        updates, opt_state = optimizer.update(grads, opt_state, qz_params)
-        qz_params = optax.apply_updates(qz_params, updates)
-        take = (t >= avg_start).astype(qz_params.dtype)
-        avg = avg + take * qz_params
-        n_avg = n_avg + take
-        return (qz_params, opt_state, avg, n_avg, t + 1), loss
-
-    n_seg = segment_steps if segment_steps > 0 else num_steps
-
-    def make_runner(length):
-        @jax.jit
-        def run_segment(carry, key):
-            keys = jax.random.split(key, length)
-            return jax.lax.scan(step, carry, keys)
-
-        return run_segment
-
-    run_full = make_runner(n_seg)
-
-    @jax.jit
-    def init_opt(qz_params):
-        return optimizer.init(qz_params)
-
-    carry = (qz_params, init_opt(qz_params), jnp.zeros_like(qz_params),
-             jnp.zeros((), qz_params.dtype), jnp.asarray(0))
-    key = jax.random.PRNGKey(seed)
-    losses = []
-    steps_done = 0
-
-    def _report(seg_losses):
-        # per-segment live feedback: (steps_done, last ELBO loss) — parity
-        # with the reference's tqdm ELBO postfix (jax/inference.py:132-139)
-        if progress is not None:
-            jax.block_until_ready(seg_losses)
-            progress(steps_done, float(seg_losses[-1]))
-
-    for _ in range(num_steps // n_seg):
-        key, k_seg = jax.random.split(key)
-        carry, seg_losses = run_full(carry, k_seg)
-        losses.append(seg_losses)
-        steps_done += n_seg
-        _report(seg_losses)
-    rem = num_steps % n_seg
-    if rem:
-        key, k_seg = jax.random.split(key)
-        carry, seg_losses = make_runner(rem)(carry, k_seg)
-        losses.append(seg_losses)
-        steps_done += rem
-        _report(seg_losses)
-    qz_params, _, avg, n_avg, _ = carry
-    if polyak_fraction > 0:
-        qz_params = jax.jit(lambda a, n, q: jnp.where(n > 0, a / jnp.maximum(n, 1), q))(
-            avg, n_avg, qz_params
-        )
-    losses = jnp.concatenate(losses)
+    qz_params, losses = _run_adam_scan(
+        jax.value_and_grad(elbo_loss), qz_params, optimizer, num_steps, seed,
+        segment_steps, polyak_fraction, progress,
+        progress_value=lambda seg: float(seg[-1]),
+    )
     mean, tril = jax.jit(unpack)(qz_params)
     return MultivariateNormalTriL(mean, tril), losses
 
@@ -224,9 +233,33 @@ def fit_svi_survey(
     if scale0.size == 1:
         scale0 = np.broadcast_to(np.eye(d, dtype=np.float32) * float(scale0), (S, d, d))
     elif scale0.ndim == 1:
+        if scale0.shape != (d,):
+            raise ValueError(f"1-D init_scales must be ({d},); got {scale0.shape}")
         scale0 = np.broadcast_to(np.diag(scale0), (S, d, d))
     elif scale0.ndim == 2:
-        scale0 = np.broadcast_to(scale0, (S, d, d))
+        # (d, d): one factor shared by all scenes; (S, d): per-scene
+        # diagonals. With S == d the two readings collide — demand the
+        # unambiguous 3-D form rather than guessing (a mis-read here is a
+        # silent garbage initialization, not an error).
+        if S == d and scale0.shape == (d, d):
+            raise ValueError(
+                f"init_scales shape {scale0.shape} is ambiguous with "
+                f"S == d == {d}: pass (S, d, d) per-scene factors or "
+                "np.broadcast_to(diag, (S, d, d))"
+            )
+        if scale0.shape == (d, d):
+            scale0 = np.broadcast_to(scale0, (S, d, d))
+        elif scale0.shape == (S, d):
+            scale0 = np.stack([np.diag(r) for r in scale0])
+        else:
+            raise ValueError(
+                f"2-D init_scales must be (d, d) shared or (S, d) per-scene "
+                f"diagonals; got {scale0.shape} with S={S}, d={d}"
+            )
+    elif scale0.shape != (S, d, d):
+        raise ValueError(
+            f"3-D init_scales must be ({S}, {d}, {d}); got {scale0.shape}"
+        )
     cov_bij = FillScaleTriL(d, diag_shift=1e-6)
 
     if full_rank:
@@ -270,55 +303,16 @@ def fit_svi_survey(
         return jnp.sum(per_scene), per_scene
 
     grad_fn = jax.value_and_grad(elbo_loss, has_aux=True)
-    avg_start = int(num_steps * (1.0 - polyak_fraction)) if polyak_fraction > 0 else num_steps
 
-    def step(carry, key):
-        qz_params, opt_state, avg, n_avg, t = carry
-        (_, per_scene), grads = grad_fn(qz_params, key)
-        updates, opt_state = optimizer.update(grads, opt_state, qz_params)
-        qz_params = optax.apply_updates(qz_params, updates)
-        take = (t >= avg_start).astype(qz_params.dtype)
-        avg = avg + take * qz_params
-        n_avg = n_avg + take
-        return (qz_params, opt_state, avg, n_avg, t + 1), per_scene
+    def loss_and_grad(params, key):
+        (_, per_scene), grads = grad_fn(params, key)
+        return per_scene, grads
 
-    n_seg = segment_steps if segment_steps > 0 else num_steps
-
-    def make_runner(length):
-        @jax.jit
-        def run_segment(carry, key):
-            keys = jax.random.split(key, length)
-            return jax.lax.scan(step, carry, keys)
-
-        return run_segment
-
-    run_full = make_runner(n_seg)
-    carry = (qz_params, jax.jit(optimizer.init)(qz_params),
-             jnp.zeros_like(qz_params), jnp.zeros((), qz_params.dtype),
-             jnp.asarray(0))
-    key = jax.random.PRNGKey(seed)
-    losses, steps_done = [], 0
-    for _ in range(num_steps // n_seg):
-        key, k_seg = jax.random.split(key)
-        carry, seg_losses = run_full(carry, k_seg)
-        losses.append(seg_losses)
-        steps_done += n_seg
-        if progress is not None:
-            jax.block_until_ready(seg_losses)
-            progress(steps_done, float(jnp.max(seg_losses[-1])))
-    rem = num_steps % n_seg
-    if rem:
-        key, k_seg = jax.random.split(key)
-        carry, seg_losses = make_runner(rem)(carry, k_seg)
-        losses.append(seg_losses)
-        steps_done += rem
-        if progress is not None:
-            jax.block_until_ready(seg_losses)
-            progress(steps_done, float(jnp.max(seg_losses[-1])))
-    qz_params, _, avg, n_avg, _ = carry
-    if polyak_fraction > 0:
-        qz_params = jax.jit(lambda a, n, q: jnp.where(n > 0, a / jnp.maximum(n, 1), q))(
-            avg, n_avg, qz_params
-        )
+    qz_params, losses = _run_adam_scan(
+        loss_and_grad, qz_params, optimizer, num_steps, seed, segment_steps,
+        polyak_fraction, progress,
+        # worst scene's current loss — a stalled scene stays visible
+        progress_value=lambda seg: float(jnp.max(seg[-1])),
+    )
     mean, tril = jax.jit(unpack)(qz_params)
-    return mean, tril, jnp.concatenate(losses)
+    return mean, tril, losses

@@ -280,6 +280,21 @@ class SurveyForwardProbModel(ForwardProbModel):
             include_positions=False,
         )
         self.n_scenes = int(observed_images.shape[0])
+        if self.error_map is not None:
+            # accept one (H, W) map shared by all scenes; anything else must
+            # match (S, H, W) exactly — stats_pixels indexes error_map[:, None]
+            if self.error_map.ndim == 2 and (
+                self.error_map.shape == observed_images.shape[1:]
+            ):
+                self.error_map = jnp.broadcast_to(
+                    self.error_map, observed_images.shape
+                )
+            if self.error_map.shape != observed_images.shape:
+                raise ValueError(
+                    f"error_map shape {self.error_map.shape} must be "
+                    f"{observed_images.shape[1:]} (shared) or match "
+                    f"observed_images {observed_images.shape}"
+                )
 
     def stats_pixels(self, simulator, params):
         im_sim = simulator.simulate(params)  # (S*K, H, W)

@@ -45,7 +45,8 @@ def save_hmc(path: str, result):
              accept_rate=np.asarray(result.accept_rate),
              step_size=np.asarray(result.step_size),
              final_state=np.asarray(result.final_state),
-             trajectory_length=np.asarray(result.trajectory_length))
+             trajectory_length=np.asarray(result.trajectory_length),
+             divergences=np.asarray(result.divergences))
 
 
 def load_hmc(path: str):
@@ -53,10 +54,14 @@ def load_hmc(path: str):
 
     d = np.load(path)
     traj = d["trajectory_length"] if "trajectory_length" in d else np.zeros(())
+    # pre-divergence-field checkpoints: per-chain zeros, NOT the 0-d default
+    # (consumers reshape per scene / sum per chain)
+    div = (d["divergences"] if "divergences" in d
+           else np.zeros((d["samples"].shape[1],), np.int32))
     return HMCResult(
         jnp.asarray(d["samples"]), jnp.asarray(d["accept_rate"]),
         jnp.asarray(d["step_size"]), jnp.asarray(d["final_state"]),
-        jnp.asarray(traj),
+        jnp.asarray(traj), jnp.asarray(div),
     )
 
 

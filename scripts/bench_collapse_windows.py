@@ -18,7 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-sys.path.insert(0, "/root/repo")
+import os
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 from gigalens_tpu import PhysicalModel, SimulatorConfig
 from gigalens_tpu.inference import SurveySequence
 from gigalens_tpu.model import SurveyForwardProbModel

@@ -226,3 +226,66 @@ def test_survey_sharded_matches_single_device(survey_setup):
                      np.asarray(r.step_size))
     for a, b in zip(res["m8"], res["m1"]):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_survey_error_map_validation(survey_setup):
+    """A shared (H, W) error map broadcasts to all scenes; mismatched shapes
+    raise (review finding: error_map[:, None] on a 2-D map silently
+    mis-broadcast)."""
+    prior, phys, cfg, truths, obs, bkg, exp_t = survey_setup
+    em = np.full(obs.shape[1:], 0.2, np.float32)
+    spm = SurveyForwardProbModel(prior, obs, error_map=em)
+    assert spm.error_map.shape == obs.shape
+    K = 2
+    z = prior.unconstrain(prior.sample(jax.random.PRNGKey(4), 2 * K))
+    sim = LensSimulator(phys, cfg, bs=2 * K)
+    lp, _ = jax.jit(lambda z: spm.log_prob(sim, z))(z)
+    pm = ForwardProbModel(prior, obs[0], error_map=em)
+    sim_k = LensSimulator(phys, cfg, bs=K)
+    lp_one, _ = jax.jit(lambda z: pm.log_prob(sim_k, z))(z[:K])
+    np.testing.assert_allclose(np.asarray(lp[:K]), np.asarray(lp_one),
+                               rtol=1e-6, atol=1e-4)
+    with pytest.raises(ValueError, match="error_map"):
+        SurveyForwardProbModel(prior, obs, error_map=em[:10])
+
+
+def test_survey_svi_init_scales_shapes(survey_setup):
+    """(S, d) per-scene diagonals accepted; bad 2-D shapes raise; S == d
+    full-matrix ambiguity raises (review finding: silent garbage init)."""
+    from gigalens_tpu.inference.svi import fit_svi_survey
+
+    prior, phys, cfg, truths, obs, bkg, exp_t = survey_setup
+    spm = SurveyForwardProbModel(prior, obs, background_rms=bkg, exp_time=exp_t)
+    d = prior.d
+    starts = prior.unconstrain(prior.sample(jax.random.PRNGKey(5), 2))
+    sim = LensSimulator(phys, cfg, bs=2 * 8)
+    diag = np.full((2, d), 0.05, np.float32)
+    means, trils, _ = fit_svi_survey(spm, sim, starts, optax.adam(0.0),
+                                     n_vi=8, num_steps=2, init_scales=diag)
+    np.testing.assert_allclose(
+        np.asarray(jax.vmap(jnp.diagonal)(trils)), 0.05, rtol=1e-3
+    )
+    with pytest.raises(ValueError, match="2-D init_scales"):
+        fit_svi_survey(spm, sim, starts, optax.adam(0.0), n_vi=8,
+                       num_steps=1, init_scales=np.ones((3, d + 1)))
+    # S == d ambiguity: build a fake (d, d) with S == d scenes
+    starts_d = prior.unconstrain(prior.sample(jax.random.PRNGKey(6), d))
+    sim_d = LensSimulator(phys, cfg, bs=d * 8)
+    with pytest.raises(ValueError, match="ambiguous"):
+        fit_svi_survey(spm, sim_d, starts_d, optax.adam(0.0), n_vi=8,
+                       num_steps=1, init_scales=np.eye(d, dtype=np.float32))
+
+
+def test_checkpoint_roundtrips_divergences(tmp_path):
+    """HMCResult.divergences survives save/load (review finding: dropped
+    field reset to the 0-d default on resume)."""
+    from gigalens_tpu.inference.hmc import HMCResult
+    from gigalens_tpu.utils.checkpoint import load_hmc, save_hmc
+
+    res = HMCResult(jnp.ones((5, 4, 3)), jnp.zeros(7), jnp.float32(0.1),
+                    jnp.ones((4, 3)), jnp.float32(0.5),
+                    jnp.asarray([0, 3, 0, 1], jnp.int32))
+    p = str(tmp_path / "hmc.npz")
+    save_hmc(p, res)
+    back = load_hmc(p)
+    np.testing.assert_array_equal(np.asarray(back.divergences), [0, 3, 0, 1])
