@@ -39,6 +39,15 @@ def _batched(p: Dict):
 
 
 class LensSimulator(gmodel.VersionedAttrs):
+    """Batched differentiable lens simulator for a fixed camera and batch size.
+
+    Renders ``(bs, H, W)`` observed-frame images from batch-leading parameter
+    pytrees: ray-shoot the supersampled masked grid through the mass profiles,
+    evaluate the light profiles in the source plane, PSF-convolve, pool to
+    native pixels (reference counterpart: ``src/gigalens/jax/simulator.py:19-195``,
+    redesigned batch-leading with FFT/DFT/Pallas convolution paths).
+    """
+
     def __init__(
         self,
         phys_model: "gmodel.PhysicalModel",
