@@ -108,6 +108,16 @@ def fit_smc(
             return prob_model.prior.unconstrain(prob_model.prior.sample(key, (P, E)))
 
         z0 = _init(k_init)
+    elif np.asarray(start).ndim == 3:
+        # pre-shaped (P, E, d) starts — the caller controls which rows seed
+        # which ensemble (survey mode: each scene's ensemble must start from
+        # that scene's own MAP subsample, not a global scramble)
+        start = jnp.asarray(start)
+        if start.shape != (P, E, d):
+            raise ValueError(
+                f"3-D start must be ({P}, {E}, {d}); got {start.shape}"
+            )
+        z0 = start
     else:
         # subsample the provided starts (e.g. MAP output); with fewer starts
         # than particles, duplicates are fine — the HMC moves re-diversify

@@ -36,10 +36,51 @@ import optax
 from gigalens_tpu.inference.hmc import HMCResult, _cached_log_prob_fn, sample_hmc
 from gigalens_tpu.inference.map import fit_map
 from gigalens_tpu.inference.sequence import phase_simulator
+from gigalens_tpu.inference.smc import SMCResult, fit_smc
 from gigalens_tpu.inference.svi import fit_svi_survey
 from gigalens_tpu.model import SurveyForwardProbModel
 from gigalens_tpu.parallel import mesh as pmesh
 from gigalens_tpu.simulator import LensSimulator
+
+
+class _SceneEnsembleAdapter:
+    """Adapts a scene-major survey model to SMC's (P, E) particle order.
+
+    ``fit_smc`` flattens particles (P, E, d) to rows ``p * E + e``
+    (ensemble-minor); :class:`SurveyForwardProbModel` scores scene-major
+    blocks ``s * K + k``. With one SMC ensemble per scene (E = S, K = P),
+    the two orders are a transpose: permute rows to scene-major, evaluate,
+    permute the per-row stats back. The permutation is a reshape+swap —
+    free at the XLA level relative to the renders it brackets.
+    """
+
+    def __init__(self, survey_model, num_particles: int):
+        self._m = survey_model
+        self._P = num_particles
+        self.prior = survey_model.prior
+        self.include_pixels = survey_model.include_pixels
+        self.include_positions = survey_model.include_positions
+
+    def _to_scene_major(self, x):
+        P, S = self._P, self._m.n_scenes
+
+        def perm(a):
+            return jnp.swapaxes(
+                a.reshape(P, S, *a.shape[1:]), 0, 1
+            ).reshape(P * S, *a.shape[1:])
+
+        return jax.tree_util.tree_map(perm, x)
+
+    def _from_scene_major(self, y):
+        P, S = self._P, self._m.n_scenes
+        return jnp.swapaxes(y.reshape(S, P), 0, 1).reshape(P * S)
+
+    def stats_pixels(self, simulator, x):
+        ll, chi = self._m.stats_pixels(simulator, self._to_scene_major(x))
+        return self._from_scene_major(ll), self._from_scene_major(chi)
+
+    def stats_positions(self, simulator, x):
+        raise NotImplementedError("survey mode scores pixel data only")
 
 
 class SurveySequence:
@@ -216,6 +257,72 @@ class SurveySequence:
             segment_steps=segment_steps,
             progress=progress,
             n_groups=S,
+        )
+
+    def SMC(
+        self,
+        start=None,
+        num_particles: int = 500,
+        num_leapfrog_steps: int = 10,
+        post_sampling_steps: int = 100,
+        ess_threshold_ratio: float = 0.8,
+        max_sampling_per_stage: int = 8,
+        max_stage: int = 100,
+        seed: int = 1,
+        segment_stages: int = 0,
+        progress=None,
+    ) -> SMCResult:
+        """Tempered SMC over the catalogue: one ensemble per scene in one
+        program. Each scene gets its own adaptive temperature schedule
+        (per-ensemble bisection), per-particle step-size tuning, and —
+        prior-initialized — its own ``log_evidence`` entry: S Bayes-factor
+        numerators from a single run.
+
+        ``start``: None (prior init, required for evidence) or the survey
+        MAP output (S*K, d) scene-major — each scene's ensemble subsamples
+        its own scene's starts. ``res.particles`` is (P, S, d) with axis 1
+        the scene axis; ``res.final_beta`` / ``res.log_evidence`` are (S,).
+        The stage loop runs until the SLOWEST scene reaches beta = 1
+        (finished scenes keep making beta=1 moves — pure posterior sampling,
+        harmless); the per-stage move count adapts to the global mean
+        acceptance."""
+        S = self.n_scenes
+        P = self._per_scene(num_particles, "num_particles")
+        sim = self._sim(P * S, exact=True)
+        model = _SceneEnsembleAdapter(self.prob_model, P)
+
+        if start is not None:
+            start = jnp.asarray(start)
+            K = start.shape[0] // S
+            key = jax.random.PRNGKey(seed)
+
+            @jax.jit
+            def _pick(key):
+                scenes = start.reshape(S, K, -1)
+                idx = jax.random.choice(key, K, (S, P), replace=K < P)
+                return jnp.swapaxes(
+                    scenes[jnp.arange(S)[:, None], idx], 0, 1
+                )  # (P, S, d)
+
+            start = _pick(key)
+
+        return fit_smc(
+            model,
+            sim,
+            start=start,
+            num_particles=P,
+            num_ensembles=S,
+            num_leapfrog_steps=num_leapfrog_steps,
+            post_sampling_steps=post_sampling_steps,
+            ess_threshold_ratio=ess_threshold_ratio,
+            max_sampling_per_stage=max_sampling_per_stage,
+            max_stage=max_stage,
+            target="pixels",
+            auxiliar="none",
+            seed=seed,
+            mesh=self.mesh,
+            segment_stages=segment_stages,
+            progress=progress,
         )
 
     def scene_samples(self, res: HMCResult):
