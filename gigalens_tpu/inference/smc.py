@@ -136,6 +136,12 @@ def fit_smc(
         z0 = pmesh.shard_samples(z0, mesh)
 
     def _stats(name, required=False):
+        # a callable is used directly: signature (constrained params pytree
+        # for n = P*E rows) -> (n,) log-likelihood — custom science terms
+        # (e.g. a magnification prior, external datasets) without touching
+        # the driver
+        if callable(name):
+            return name
         # degrade the *auxiliary* term gracefully when the model lacks it
         # (the default auxiliar="positions" on a pixels-only model means "no
         # auxiliary likelihood", matching the reference's intent at

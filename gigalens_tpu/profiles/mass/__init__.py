@@ -2,6 +2,7 @@ from gigalens_tpu.profiles.mass.dpie import DPIE, DPIEP, DPIS
 from gigalens_tpu.profiles.mass.dpie_subhalo import DPIESubhalo, DPIESubhaloSeries
 from gigalens_tpu.profiles.mass.epl import EPL
 from gigalens_tpu.profiles.mass.nfw import NFW, NFW_ELLIPSE, TNFW
+from gigalens_tpu.profiles.mass.point import MassSheet, PointMass
 from gigalens_tpu.profiles.mass.scaling import ScalingRelation
 from gigalens_tpu.profiles.mass.series import MassSeries, ScalingRelationSeries
 from gigalens_tpu.profiles.mass.shear import Shear
@@ -23,4 +24,6 @@ __all__ = [
     "ScalingRelationSeries",
     "DPIESubhalo",
     "DPIESubhaloSeries",
+    "PointMass",
+    "MassSheet",
 ]

@@ -282,3 +282,22 @@ def test_smc_combined_target_and_start_subsample(
                    target="pixels+positions", auxiliar="none", seed=0)
     assert np.isfinite(np.asarray(res.particles)).all()
     assert float(res.final_beta[0]) > 0.0
+
+
+def test_smc_callable_target():
+    """target/auxiliar accept callables (custom science terms): a callable
+    Gaussian target reproduces the named-selector posterior semantics."""
+    pm = _GaussianTargetModel()
+
+    def my_like(x):  # same likelihood as stats_pixels, as a raw callable
+        return jnp.sum(-0.5 * ((x - 1.0) / 0.5) ** 2, -1)
+
+    res = fit_smc(
+        pm, simulator=None, num_particles=300, num_ensembles=1,
+        num_leapfrog_steps=5, post_sampling_steps=0, max_stage=50,
+        target=my_like, auxiliar="none", seed=0,
+    )
+    assert float(res.final_beta.min()) == 1.0
+    s = np.asarray(res.particles).reshape(-1, 3)
+    np.testing.assert_allclose(s.mean(0), [0.8] * 3, atol=0.1)
+    np.testing.assert_allclose(s.var(0), [0.2] * 3, atol=0.08)

@@ -155,3 +155,38 @@ def test_shapelets_param_names():
     assert shp.n_layers == 21
     assert shp._amp_names[0] == "amp00" and shp._amp_names[-1] == "amp20"
     assert all(a in shp.params for a in shp._amp_names)
+
+
+def test_point_mass_and_sheet(rng):
+    """PointMass/MassSheet (beyond the reference): analytic hessian matches
+    AD; point-mass convergence vanishes off-center; sheet kappa is uniform;
+    the mass-sheet transform's deflection identity holds."""
+    from gigalens_tpu.profiles.mass.point import MassSheet, PointMass
+
+    x, y = _coords(rng, n=2000)
+    kw = dict(theta_E=1.3, center_x=0.1, center_y=-0.2)
+    got = PointMass().hessian(x, y, **kw)
+    want = MassProfile.hessian(PointMass(), x, y, **kw)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-3, atol=1e-4)
+    # kappa = (f_xx + f_yy)/2 = 0 away from the point
+    np.testing.assert_allclose(
+        np.asarray(PointMass().convergence(x, y, **kw)), 0.0, atol=1e-4
+    )
+
+    sh = MassSheet()
+    skw = dict(kappa=0.17, center_x=0.0, center_y=0.0)
+    got = sh.hessian(x, y, **skw)
+    want = MassProfile.hessian(sh, x, y, **skw)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sh.convergence(x, y, **skw)), 0.17,
+                               rtol=1e-5)
+    # batched params broadcast like every other profile
+    kb = dict(theta_E=np.asarray([[1.0], [1.5]], np.float32),
+              center_x=0.0, center_y=0.0)
+    ax, ay = PointMass().deriv(x[None, :], y[None, :], **kb)
+    assert ax.shape == (2, x.size)
+    np.testing.assert_allclose(
+        np.asarray(ax[1]) / np.asarray(ax[0]), (1.5 / 1.0) ** 2, rtol=1e-4
+    )
