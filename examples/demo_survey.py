@@ -62,6 +62,20 @@ prior = Prior(
             ),
             dict(gamma1=gld.Normal(0, 0.05), gamma2=gld.Normal(0, 0.05)),
         ],
+        # lens light included: galaxy-galaxy survey cutouts have it, and the
+        # EPL+Shear + 2x SersicEllipse pattern rides the fused Pallas render
+        # on TPU (simulator._detect_fused_pattern)
+        lens_light=[
+            dict(
+                R_sersic=gld.LogNormal(jnp.log(1.0), 0.15),
+                n_sersic=gld.Uniform(2, 6),
+                e1=gld.TruncatedNormal(0, 0.1, -0.3, 0.3),
+                e2=gld.TruncatedNormal(0, 0.1, -0.3, 0.3),
+                center_x=gld.Normal(0, 0.05),
+                center_y=gld.Normal(0, 0.05),
+                Ie=gld.LogNormal(jnp.log(500.0), 0.3),
+            )
+        ],
         source_light=[
             dict(
                 R_sersic=gld.LogNormal(jnp.log(0.25), 0.15),
@@ -88,7 +102,7 @@ else:
     hmc_n, burnin, results = 16, 150, 400
 
 niter = EPL.recommended_niter(q_min=0.43, tol=1e-8)
-phys = PhysicalModel([EPL(niter), Shear()], [], [SersicEllipse()])
+phys = PhysicalModel([EPL(niter), Shear()], [SersicEllipse()], [SersicEllipse()])
 cfg = SimulatorConfig(delta_pix=0.065, num_pix=num_pix, supersample=supersample)
 
 # --- synthesize the catalogue ---------------------------------------------
