@@ -119,6 +119,11 @@ for name, prior, phys in [("EPL", prior_epl, phys_epl),
     print(f"{name}: stages={int(res.num_stages)} "
           f"final_beta={np.asarray(res.final_beta)} "
           f"logZ={np.round(lz, 2)} ({time.time() - t0:.0f}s)")
+    if float(np.asarray(res.final_beta).min()) < 1.0:
+        # a partial bridge is NOT an evidence estimate — refuse to compare
+        print(f"{name}: tempering truncated at max_stage (beta < 1); "
+              "log_evidence is a partial-bridge quantity. Raise max_stage.")
+        _sys.exit(1)
 
 bf = float(log_z["EPL"].mean() - log_z["SIE"].mean())
 # per-ensemble spread = the estimator's error bar; a |BF| below it is noise

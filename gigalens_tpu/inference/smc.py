@@ -108,7 +108,7 @@ def fit_smc(
             return prob_model.prior.unconstrain(prob_model.prior.sample(key, (P, E)))
 
         z0 = _init(k_init)
-    elif np.asarray(start).ndim == 3:
+    elif jnp.ndim(start) == 3:
         # pre-shaped (P, E, d) starts — the caller controls which rows seed
         # which ensemble (survey mode: each scene's ensemble must start from
         # that scene's own MAP subsample, not a global scramble)
@@ -121,7 +121,7 @@ def fit_smc(
     else:
         # subsample the provided starts (e.g. MAP output); with fewer starts
         # than particles, duplicates are fine — the HMC moves re-diversify
-        replace = int(np.asarray(start).shape[0]) < n
+        replace = int(jnp.shape(start)[0]) < n  # rank/shape only: no transfer
 
         @jax.jit
         def _pick(key, start):

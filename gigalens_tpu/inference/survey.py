@@ -281,7 +281,9 @@ class SurveySequence:
         ``start``: None (prior init, required for evidence) or the survey
         MAP output (S*K, d) scene-major — each scene's ensemble subsamples
         its own scene's starts. ``res.particles`` is (P, S, d) with axis 1
-        the scene axis; ``res.final_beta`` / ``res.log_evidence`` are (S,).
+        the scene axis; ``res.final_beta`` / ``res.log_evidence`` are (S,);
+        ``res.post_samples`` rows are scene-major (``s * P + p``, reordered
+        from the single-system driver's particle-major flatten).
         The stage loop runs until the SLOWEST scene reaches beta = 1
         (finished scenes keep making beta=1 moves — pure posterior sampling,
         harmless); the per-stage move count adapts to the global mean
@@ -299,14 +301,20 @@ class SurveySequence:
             @jax.jit
             def _pick(key):
                 scenes = start.reshape(S, K, -1)
-                idx = jax.random.choice(key, K, (S, P), replace=K < P)
-                return jnp.swapaxes(
-                    scenes[jnp.arange(S)[:, None], idx], 0, 1
-                )  # (P, S, d)
+
+                # per-scene independent subsampling (a single flattened
+                # (S, P) choice either crashes for P <= K < S*P or couples
+                # the scenes' no-repeat pools)
+                def pick_one(k, sc):
+                    idx = jax.random.choice(k, K, (P,), replace=K < P)
+                    return sc[idx]
+
+                picked = jax.vmap(pick_one)(jax.random.split(key, S), scenes)
+                return jnp.swapaxes(picked, 0, 1)  # (P, S, d)
 
             start = _pick(key)
 
-        return fit_smc(
+        res = fit_smc(
             model,
             sim,
             start=start,
@@ -324,6 +332,16 @@ class SurveySequence:
             segment_stages=segment_stages,
             progress=progress,
         )
+        if res.post_samples.shape[0]:
+            # fit_smc's post chain flattens (P, E) particle-major (rows
+            # p*S + s); every survey output is documented scene-major, so
+            # reorder to rows s*P + p before handing it back
+            T, n, d = res.post_samples.shape
+            post = jnp.swapaxes(
+                res.post_samples.reshape(T, P, S, d), 1, 2
+            ).reshape(T, n, d)
+            res = res._replace(post_samples=post)
+        return res
 
     def scene_samples(self, res: HMCResult):
         """(num_results, S * C, d) -> (S, num_results * C, d) per-scene draws."""

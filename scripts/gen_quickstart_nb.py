@@ -8,14 +8,10 @@ is the interactive on-ramp). Rerun after API changes:
     python scripts/gen_quickstart_nb.py
 """
 import os
-import sys
 
 import nbformat as nbf
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-md = []
-code = []
 
 
 def MD(s):

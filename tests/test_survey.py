@@ -367,3 +367,28 @@ def test_survey_smc_real_model_smoke(survey_setup):
     assert np.isfinite(np.asarray(res.particles)).all()
     assert res.final_beta.shape == (2,)
     assert (np.asarray(res.final_beta) > 0).all()
+
+
+def test_survey_smc_start_subsampling_no_replacement_crash(survey_setup):
+    """K == P per scene (replace=False path) must subsample per scene, not
+    crash on a flattened S*P no-replacement draw (review regression); and
+    post_samples come back scene-major."""
+    prior, phys, cfg, truths, obs, bkg, exp_t = survey_setup
+    spm = SurveyForwardProbModel(prior, obs, background_rms=bkg, exp_time=exp_t)
+    seq = SurveySequence(phys, spm, cfg)
+    K = P = 16
+    z = prior.unconstrain(prior.sample(jax.random.PRNGKey(8), 2 * K))
+    res = seq.SMC(start=z, num_particles=P, num_leapfrog_steps=1,
+                  post_sampling_steps=2, max_stage=1, seed=0)
+    assert res.particles.shape == (P, 2, prior.d)
+    assert res.post_samples.shape == (2, 2 * P, prior.d)
+    # scene-major post rows: scene s's block must track scene s's particles.
+    # With max_stage=1 and 1-leapfrog moves, post draws stay in the start
+    # cloud of their own scene — compare block means against the per-scene
+    # particle means (scenes have well-separated parameter draws)
+    post = np.asarray(res.post_samples[-1]).reshape(2, P, prior.d)
+    parts = np.asarray(res.particles)  # (P, 2, d)
+    for s in range(2):
+        d_own = np.linalg.norm(post[s].mean(0) - parts[:, s].mean(0))
+        d_other = np.linalg.norm(post[s].mean(0) - parts[:, 1 - s].mean(0))
+        assert d_own < d_other, (s, d_own, d_other)
