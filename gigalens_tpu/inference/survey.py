@@ -80,7 +80,8 @@ class _SceneEnsembleAdapter:
         return self._from_scene_major(ll), self._from_scene_major(chi)
 
     def stats_positions(self, simulator, x):
-        raise NotImplementedError("survey mode scores pixel data only")
+        ll, chi = self._m.stats_positions(simulator, self._to_scene_major(x))
+        return self._from_scene_major(ll), self._from_scene_major(chi)
 
 
 class SurveySequence:
@@ -268,6 +269,7 @@ class SurveySequence:
         ess_threshold_ratio: float = 0.8,
         max_sampling_per_stage: int = 8,
         max_stage: int = 100,
+        target: str = "pixels",
         seed: int = 1,
         segment_stages: int = 0,
         progress=None,
@@ -325,7 +327,10 @@ class SurveySequence:
             ess_threshold_ratio=ess_threshold_ratio,
             max_sampling_per_stage=max_sampling_per_stage,
             max_stage=max_stage,
-            target="pixels",
+            # combined tempering is the robust choice with position data
+            # (see fit_smc's degeneracy caveat); the auxiliary side stays
+            # off in survey mode
+            target=target,
             auxiliar="none",
             seed=seed,
             mesh=self.mesh,

@@ -21,6 +21,7 @@ from __future__ import annotations
 import math
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -251,8 +252,10 @@ class SurveyForwardProbModel(ForwardProbModel):
     The pixel-stat math is identical to :class:`ForwardProbModel` — the
     renders are simply reshaped (S, K, H, W) against (S, 1, H, W) data — so
     per-sample log-likelihoods match the single-scene model exactly
-    (tested in tests/test_survey.py). Position likelihoods are not supported
-    in survey mode.
+    (tested in tests/test_survey.py). Multiple-image positions are supported
+    with one image group per scene (``centroids_*`` as length-S lists of 1-D
+    arrays; scenes may have different image counts — shorter scenes are
+    padded and masked, see ``stats_positions``).
     """
 
     def __init__(
@@ -262,6 +265,10 @@ class SurveyForwardProbModel(ForwardProbModel):
         background_rms=None,
         exp_time=None,
         error_map=None,
+        centroids_x=None,
+        centroids_y=None,
+        centroids_errors_x=None,
+        centroids_errors_y=None,
     ):
         observed_images = jnp.asarray(observed_images, jnp.float32)
         if observed_images.ndim != 3:
@@ -279,6 +286,44 @@ class SurveyForwardProbModel(ForwardProbModel):
             include_pixels=True,
             include_positions=False,
         )
+        # Per-scene multiple-image positions: one image group per scene,
+        # given as length-S lists of 1-D arrays (image counts may differ —
+        # scenes are padded to the longest with REPEATS OF THEIR OWN FIRST
+        # IMAGE, masked out of every sum; repeating a valid position keeps
+        # the padded rays/magnifications finite, where NaN padding would
+        # poison the masked sums through 0 * inf).
+        if centroids_x is not None:
+            S = int(observed_images.shape[0])
+            if len(centroids_x) != S:
+                raise ValueError(
+                    f"centroids_x must list {S} scenes; got {len(centroids_x)}"
+                )
+            n_max = max(int(np.size(np.asarray(c))) for c in centroids_x)
+
+            def pad(arrs, fill_from_first):
+                out = np.zeros((S, n_max), np.float32)
+                for s, a in enumerate(arrs):
+                    a = np.asarray(a, np.float32).reshape(-1)
+                    out[s, : a.size] = a
+                    out[s, a.size:] = a[0] if fill_from_first else 1.0
+                return jnp.asarray(out)
+
+            self.pos_x = pad(centroids_x, True)
+            self.pos_y = pad(centroids_y, True)
+            self.pos_ex = pad(centroids_errors_x, False)
+            self.pos_ey = pad(centroids_errors_y, False)
+            self.pos_mask = jnp.asarray(
+                np.arange(n_max)[None, :]
+                < np.asarray([np.size(np.asarray(c)) for c in centroids_x])[:, None],
+                jnp.float32,
+            )
+            self.include_positions = True
+            # event-size contribution (MAP-loss normalization): the average
+            # per-scene position count — per-sample event sizes must be a
+            # single scalar under the scene-batched loss
+            self.n_position = int(
+                round(2 * float(np.asarray(self.pos_mask).sum()) / S)
+            )
         self.n_scenes = int(observed_images.shape[0])
         if self.error_map is not None:
             # accept one (H, W) map shared by all scenes; anything else must
@@ -323,10 +368,56 @@ class SurveyForwardProbModel(ForwardProbModel):
         return log_like.reshape(S * K), red_chi2.reshape(S * K)
 
     def stats_positions(self, simulator, params):
-        raise NotImplementedError(
-            "SurveyForwardProbModel scores pixel data only; fit systems with "
-            "position constraints individually with ForwardProbModel"
+        """Per-scene multiple-image position stats (masked, padded scenes).
+
+        Same math as :meth:`ForwardProbModel.stats_positions` — ray-trace the
+        image-plane centroids to the source plane, penalize spread about
+        their barycentre with magnification-scaled errors — vectorized over
+        scenes: per-scene coords broadcast as (S, 1, n) against per-sample
+        lens params reshaped (S, K, 1), bypassing the simulator's flat
+        ``_batched`` convention.
+        """
+        if not self.include_positions:
+            raise ValueError("no centroids configured on this survey model")
+        S = self.n_scenes
+        lens_params = params["lens_mass"]
+        bs = jnp.shape(jax.tree_util.tree_leaves(lens_params)[0])[0]
+        K = bs // S
+
+        def scene_batched(p):
+            return {k: jnp.asarray(v).reshape(S, K, 1) for k, v in p.items()}
+
+        x = self.pos_x[:, None, :]  # (S, 1, n)
+        y = self.pos_y[:, None, :]
+        beta_x, beta_y = x, y
+        f_xx = f_xy = f_yx = f_yy = 0.0
+        for lens, p, c in zip(
+            simulator.phys_model.lenses, lens_params,
+            simulator.phys_model.lenses_constants,
+        ):
+            pb = scene_batched(p)
+            ax, ay = lens.deriv(x, y, **pb, **c)
+            beta_x, beta_y = beta_x - ax, beta_y - ay
+            a, b, c2, d = lens.hessian(x, y, **pb, **c)
+            f_xx, f_xy, f_yx, f_yy = f_xx + a, f_xy + b, f_yx + c2, f_yy + d
+        mag = 1.0 / ((1 - f_xx) * (1 - f_yy) - f_xy * f_yx)  # (S, K, n)
+
+        w = self.pos_mask[:, None, :]  # (S, 1, n)
+        n_img = jnp.sum(self.pos_mask, axis=-1)[:, None]  # (S, 1)
+        beta = jnp.stack([beta_x, beta_y], axis=-2)  # (S, K, 2, n)
+        bary = jnp.sum(beta * w[:, :, None, :], axis=-1, keepdims=True) / (
+            n_img[..., None, None]
         )
+        err = jnp.stack(
+            [self.pos_ex[:, None, :] / mag, self.pos_ey[:, None, :] / mag],
+            axis=-2,
+        )  # (S, K, 2, n)
+        wm = w[:, :, None, :]
+        chi2 = jnp.sum(((beta - bary) / err) ** 2 * wm, axis=(-2, -1))  # (S, K)
+        norm = jnp.sum(jnp.log(2 * np.pi * err**2) * wm, axis=(-2, -1))
+        log_like = -0.5 * (chi2 + norm)
+        red_chi2 = chi2 / (2.0 * n_img)
+        return log_like.reshape(S * K), red_chi2.reshape(S * K)
 
 
 class BackwardProbModel(VersionedAttrs):

@@ -392,3 +392,70 @@ def test_survey_smc_start_subsampling_no_replacement_crash(survey_setup):
         d_own = np.linalg.norm(post[s].mean(0) - parts[:, s].mean(0))
         d_other = np.linalg.norm(post[s].mean(0) - parts[:, 1 - s].mean(0))
         assert d_own < d_other, (s, d_own, d_other)
+
+
+def test_survey_positions_match_single_scene(survey_setup):
+    """Per-scene padded+masked position stats == single-scene
+    ForwardProbModel.stats_positions, for scenes with DIFFERENT image
+    counts (3 and 4)."""
+    prior, phys, cfg, truths, obs, bkg, exp_t = survey_setup
+    cx = [np.asarray([0.9, -0.8, 0.1], np.float32),
+          np.asarray([1.0, -0.9, 0.2, -0.3], np.float32)]
+    cy = [np.asarray([-0.7, 0.8, 1.0], np.float32),
+          np.asarray([0.6, -0.8, -1.1, 0.9], np.float32)]
+    cex = [np.full(3, 0.05, np.float32), np.full(4, 0.08, np.float32)]
+    cey = [np.full(3, 0.06, np.float32), np.full(4, 0.07, np.float32)]
+
+    spm = SurveyForwardProbModel(
+        prior, obs, background_rms=bkg, exp_time=exp_t,
+        centroids_x=cx, centroids_y=cy,
+        centroids_errors_x=cex, centroids_errors_y=cey,
+    )
+    assert spm.include_positions
+    K = 3
+    z = prior.unconstrain(prior.sample(jax.random.PRNGKey(9), 2 * K))
+    x = prior.constrain(z)
+    sim = LensSimulator(phys, cfg, bs=2 * K)
+    ll, chi = jax.jit(lambda x: spm.stats_positions(sim, x))(x)
+
+    sim_k = LensSimulator(phys, cfg, bs=K)
+    for s in range(2):
+        pm = ForwardProbModel(
+            prior, obs[s], background_rms=bkg, exp_time=exp_t,
+            centroids_x=[cx[s]], centroids_y=[cy[s]],
+            centroids_errors_x=[cex[s]], centroids_errors_y=[cey[s]],
+        )
+        xs = prior.constrain(z[s * K : (s + 1) * K])
+        ll_one, chi_one = jax.jit(lambda x: pm.stats_positions(sim_k, x))(xs)
+        np.testing.assert_allclose(
+            np.asarray(ll[s * K : (s + 1) * K]), np.asarray(ll_one),
+            rtol=1e-4, atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(chi[s * K : (s + 1) * K]), np.asarray(chi_one),
+            rtol=1e-4, atol=1e-5,
+        )
+    # full log_prob combines pixels + positions without shape errors
+    lp, rc = jax.jit(lambda z: spm.log_prob(sim, z))(z)
+    assert np.isfinite(np.asarray(lp)).all()
+
+
+def test_survey_smc_combined_target_with_positions(survey_setup):
+    """Survey SMC with target='pixels+positions' runs on a positions-enabled
+    survey model (adapter delegates both terms)."""
+    prior, phys, cfg, truths, obs, bkg, exp_t = survey_setup
+    cx = [np.asarray([0.9, -0.8], np.float32), np.asarray([1.0, -0.9, 0.2], np.float32)]
+    cy = [np.asarray([-0.7, 0.8], np.float32), np.asarray([0.6, -0.8, -1.1], np.float32)]
+    ce = [np.full(2, 0.3, np.float32), np.full(3, 0.3, np.float32)]
+    spm = SurveyForwardProbModel(
+        prior, obs, background_rms=bkg, exp_time=exp_t,
+        centroids_x=cx, centroids_y=cy,
+        centroids_errors_x=ce, centroids_errors_y=ce,
+    )
+    seq = SurveySequence(phys, spm, cfg)
+    z = seq.MAP(optax.adam(5e-3), n_starts=8, num_steps=20, seed=0)
+    res = seq.SMC(start=z, num_particles=8, num_leapfrog_steps=1,
+                  post_sampling_steps=0, max_stage=2, seed=0,
+                  target="pixels+positions")
+    assert np.isfinite(np.asarray(res.particles)).all()
+    assert (np.asarray(res.final_beta) > 0).all()
