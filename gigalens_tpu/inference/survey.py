@@ -356,3 +356,24 @@ class SurveySequence:
             jnp.swapaxes(res.samples.reshape(T, self.n_scenes, C, d), 0, 1)
             .reshape(self.n_scenes, T * C, d)
         )
+
+    def summarize(self, res: HMCResult):
+        """Per-scene named posterior summaries (physical space).
+
+        Returns a length-S list of :func:`gigalens_tpu.utils.summarize_posterior`
+        dicts — each scene's chains are summarized separately (R-hat/ESS per
+        scene, that scene's divergence count in ``_global``), the catalogue
+        fit report in one call."""
+        from gigalens_tpu.utils import summarize_posterior
+
+        T, n, d = res.samples.shape
+        S = self.n_scenes
+        C = n // S
+        chains = res.samples.reshape(T, S, C, d)
+        div = jnp.asarray(res.divergences).reshape(S, C)
+        return [
+            summarize_posterior(
+                self.prob_model.prior, chains[:, s], divergences=div[s]
+            )
+            for s in range(S)
+        ]

@@ -187,6 +187,14 @@ def test_survey_pipeline_recovers_truths(survey_setup):
     per_scene = seq.scene_samples(res)
     assert per_scene.shape == (2, 100 * 8, prior.d)
 
+    # per-scene named summaries: one dict per scene with its own global block
+    sums = seq.summarize(res)
+    assert len(sums) == 2
+    for s_dict in sums:
+        assert "lens_mass/0/theta_E" in s_dict
+        assert "max_rhat" in s_dict["_global"]
+        assert "divergences" in s_dict["_global"]
+
     assert np.isfinite(np.asarray(per_scene)).all()
     # physical acceptance: each scene's posterior-mean parameters reproduce
     # that scene's data at reduced chi2 near 1, and NOT the other scene's
