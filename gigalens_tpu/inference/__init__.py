@@ -8,7 +8,7 @@ from gigalens_tpu.inference.map import best_start, fit_map
 from gigalens_tpu.inference.sequence import ModellingSequence
 from gigalens_tpu.inference.smc import SMCResult, fit_smc
 from gigalens_tpu.inference.survey import SurveySequence
-from gigalens_tpu.inference.svi import fit_svi, fit_svi_survey
+from gigalens_tpu.inference.svi import fit_svi, fit_svi_survey, importance_evidence
 
 __all__ = [
     "ModellingSequence",
@@ -17,6 +17,7 @@ __all__ = [
     "best_start",
     "fit_svi",
     "fit_svi_survey",
+    "importance_evidence",
     "fit_hmc",
     "sample_hmc",
     "HMCResult",

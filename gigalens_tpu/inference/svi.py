@@ -196,6 +196,46 @@ def fit_svi(
     return MultivariateNormalTriL(mean, tril), losses
 
 
+def importance_evidence(prob_model, simulator, q_z, n_samples=4096, seed=0,
+                        batch=None):
+    """Importance-sampled log-evidence using the SVI surrogate as proposal.
+
+    ``log Z = logsumexp(log p(data, z) - log q(z)) - log n`` over draws
+    ``z ~ q``. A near-free cross-check of ``SMCResult.log_evidence`` once
+    SVI has run (one batched posterior eval vs a full tempering bridge).
+    Only trustworthy when the surrogate covers the posterior: check the
+    returned ``n_eff`` (effective sample size of the importance weights,
+    ``(sum w)^2 / sum w^2``) — an ``n_eff`` of a few or less means the
+    estimate is dominated by single draws and is biased low; prefer the SMC
+    bridge then.
+
+    ``simulator`` must be built with ``bs = batch`` (default: ``n_samples``).
+    Returns ``(log_z, n_eff)`` (floats).
+    """
+    import numpy as np
+
+    batch = batch or n_samples
+    key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def _one(key):
+        z = q_z.sample(key, (batch,))
+        lp, _ = prob_model.log_prob(simulator, z)
+        return lp - q_z.log_prob(z)  # (batch,) log importance weights
+
+    logw = []
+    for k in jax.random.split(key, -(-n_samples // batch)):
+        logw.append(np.asarray(_one(k)))
+    logw = jnp.asarray(np.concatenate(logw)[:n_samples])
+    n = logw.shape[0]
+    log_z = jax.scipy.special.logsumexp(logw) - jnp.log(n * 1.0)
+    n_eff = jnp.exp(
+        2 * jax.scipy.special.logsumexp(logw)
+        - jax.scipy.special.logsumexp(2 * logw)
+    )
+    return float(log_z), float(n_eff)
+
+
 def fit_svi_survey(
     prob_model,
     simulator,
