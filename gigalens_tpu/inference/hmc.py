@@ -139,8 +139,10 @@ def _hmc_programs(
     own posterior geometry). All adaptation reductions become per-group;
     the only whole-batch operation left is the posterior gradient itself,
     which is what makes the batching profitable on a TPU. ``G = 1``
-    reproduces the single-fit path exactly (verified bitwise on the toy
-    regression in scripts/check_hmc_refout.py).
+    reproduces the single-fit path up to 1-ulp reduction-shape reordering
+    (means over ``(1, C)`` vs flat ``(C,)``), which amplifies chaotically
+    along trajectories — cross-refactor comparison must be statistical, not
+    bitwise; scripts/check_hmc_refout.py checks posterior moments.
     """
     G = n_groups
     C = n_chains // G

@@ -28,6 +28,7 @@ imaging survey, one modeling configuration.
 from __future__ import annotations
 
 import dataclasses
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -269,7 +270,7 @@ class SurveySequence:
         ess_threshold_ratio: float = 0.8,
         max_sampling_per_stage: int = 8,
         max_stage: int = 100,
-        target: str = "pixels",
+        target: Optional[str] = None,
         seed: int = 1,
         segment_stages: int = 0,
         progress=None,
@@ -327,10 +328,15 @@ class SurveySequence:
             ess_threshold_ratio=ess_threshold_ratio,
             max_sampling_per_stage=max_sampling_per_stage,
             max_stage=max_stage,
-            # combined tempering is the robust choice with position data
-            # (see fit_smc's degeneracy caveat); the auxiliary side stays
-            # off in survey mode
-            target=target,
+            # default target follows the configured data so SMC samples the
+            # SAME posterior as MAP/SVI/HMC: combined tempering when the
+            # model has position terms (the robust form near critical
+            # curves — fit_smc's degeneracy caveat), pixels-only otherwise.
+            # The auxiliary side stays off in survey mode.
+            target=target if target is not None else (
+                "pixels+positions" if self.prob_model.include_positions
+                else "pixels"
+            ),
             auxiliar="none",
             seed=seed,
             mesh=self.mesh,

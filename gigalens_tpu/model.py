@@ -300,6 +300,14 @@ class SurveyForwardProbModel(ForwardProbModel):
                 )
             n_max = max(int(np.size(np.asarray(c))) for c in centroids_x)
 
+            for s, c in enumerate(centroids_x):
+                if np.size(np.asarray(c)) == 0:
+                    raise ValueError(
+                        f"scene {s} has an empty centroid list; omit the "
+                        "position data entirely or drop that scene from the "
+                        "position-constrained catalogue"
+                    )
+
             def pad(arrs, fill_from_first):
                 out = np.zeros((S, n_max), np.float32)
                 for s, a in enumerate(arrs):

@@ -41,12 +41,14 @@ def summarize_posterior(
     assert len(names) == d, f"{len(names)} names vs d={d}"
 
     # constrain column-block-wise through the prior's bijectors: constrain()
-    # takes the full z matrix, so flatten draws first
+    # takes the full z matrix, so flatten draws first. Plain (unjitted) ops:
+    # wrapping in a fresh jax.jit here would re-trace per call — per SCENE in
+    # SurveySequence.summarize — and the bijector math is a handful of
+    # elementwise transforms on an already-materialized matrix
     flat_z = samples.reshape(-1, d)
-    import jax
     import jax.numpy as jnp
 
-    x = jax.jit(prior.constrain)(jnp.asarray(flat_z))
+    x = prior.constrain(jnp.asarray(flat_z))
     cols = np.asarray(_constrained_matrix(prior, x))
 
     if chains:
@@ -76,7 +78,6 @@ def summarize_posterior(
 def _constrained_matrix(prior, x):
     """Flatten a constrained params pytree back to the (n, d) column matrix
     in the prior's column order (same packing as ``constrain`` reads)."""
-    import jax
     import jax.numpy as jnp
 
     leaves = prior._flatten_like(x)

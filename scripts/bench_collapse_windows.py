@@ -6,14 +6,12 @@ same failure class as the cap-60 trajectory-budget seed in BASELINE.md) and
 measures whether extra Stan-style warmup windows (``mass_adaptation=k``)
 recover it. Run on CPU or TPU:
 
-    python scripts/bench_collapse_windows.py [--windows 1 2 3]
+    python scripts/bench_collapse_windows.py [--cpu] [--windows 1 2 3]
 """
 import argparse
 import sys
 
 import jax
-
-jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -34,7 +32,11 @@ from gigalens_tpu.simulator import LensSimulator
 
 parser = argparse.ArgumentParser()
 parser.add_argument("--windows", type=int, nargs="+", default=[1, 2, 3])
+parser.add_argument("--cpu", action="store_true", help="force CPU backend")
 args = parser.parse_args()
+
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
 
 prior = Prior(
     dict(
