@@ -117,6 +117,16 @@ class ModellingSequence:
         sim = self._sim(z.shape[0])
         return best_start(self.prob_model, sim, z)
 
+    def summarize(self, res):
+        """Named physical-space posterior summary of an :class:`HMCResult`
+        (see :func:`gigalens_tpu.utils.summarize_posterior`)."""
+        from gigalens_tpu.utils import summarize_posterior
+
+        return summarize_posterior(
+            self.prob_model.prior, res.samples,
+            divergences=getattr(res, "divergences", None),
+        )
+
     def laplace_scale_tril(self, z_best, method: str = "fd"):
         """chol of the Laplace covariance at the MAP — the recommended
         ``init_scales`` for SVI (and a robust HMC preconditioner on its own).

@@ -97,3 +97,22 @@ def test_summarize_posterior_names_and_values(demo_prior):
     assert "rhat" not in s2["lens_mass/0/theta_E"]
     txt = format_summary(s)
     assert "theta_E" in txt and "max_rhat" in txt
+
+
+def test_sequence_summarize_convenience(demo_prior, demo_physmodel,
+                                        small_sim_config):
+    """ModellingSequence.summarize == summarize_posterior on the result."""
+    from gigalens_tpu.inference import ModellingSequence
+    from gigalens_tpu.inference.hmc import HMCResult
+    from gigalens_tpu.model import ForwardProbModel
+
+    pm = ForwardProbModel(demo_prior, np.zeros((20, 20), np.float32),
+                          background_rms=0.1, exp_time=100)
+    seq = ModellingSequence(demo_physmodel, pm, small_sim_config)
+    z = demo_prior.unconstrain(demo_prior.sample(jax.random.PRNGKey(0), 80))
+    res = HMCResult(jnp.reshape(z, (20, 4, demo_prior.d)), jnp.zeros(20),
+                    jnp.float32(0.1), z[:4],
+                    jnp.float32(0.5), jnp.zeros((4,), jnp.int32))
+    s = seq.summarize(res)
+    assert "lens_mass/0/theta_E" in s
+    assert s["_global"]["divergences"] == 0
