@@ -140,21 +140,28 @@ class LensSimulator(gmodel.VersionedAttrs):
     @staticmethod
     def _detect_fused_pattern(phys_model):
         """Returns the EPL niter if the model is [EPL, Shear] + [SersicEllipse]
-        + [SersicEllipse] with no fixed constants, else None."""
+        + [SersicEllipse] with no fixed constants, else None. A source-only
+        model ([EPL, Shear] + [] + [SersicEllipse]) also qualifies: the
+        kernel's lens-light component is fed a zero-amplitude dummy (the
+        wasted component is far cheaper than falling back to the unfused
+        path)."""
         from gigalens_tpu.profiles.light.sersic import SersicEllipse
         from gigalens_tpu.profiles.mass.epl import EPL
         from gigalens_tpu.profiles.mass.shear import Shear
 
         pm = phys_model
+        ll_ok = len(pm.lens_light) == 0 or (
+            len(pm.lens_light) == 1
+            and type(pm.lens_light[0]) is SersicEllipse
+            and not pm.lens_light[0].use_lstsq
+        )
         ok = (
             len(pm.lenses) == 2
             and type(pm.lenses[0]) is EPL
             and type(pm.lenses[1]) is Shear
-            and len(pm.lens_light) == 1
-            and type(pm.lens_light[0]) is SersicEllipse
+            and ll_ok
             and len(pm.source_light) == 1
             and type(pm.source_light[0]) is SersicEllipse
-            and not pm.lens_light[0].use_lstsq
             and not pm.source_light[0].use_lstsq
             and all(not c for c in pm.lenses_constants)
             and all(not c for c in pm.lens_light_constants)
@@ -215,16 +222,29 @@ class LensSimulator(gmodel.VersionedAttrs):
             params, "source_light", self.phys_model.source_light
         )
 
+        dummy_ll = len(self.phys_model.lens_light) == 0
         if (
             self._use_fused
             and not stack_components
             and not no_deflection
             and isinstance(params, dict)
-            and all(k in params for k in ("lens_mass", "lens_light", "source_light"))
+            and all(k in params for k in ("lens_mass", "source_light"))
+            and (dummy_ll or "lens_light" in params)
         ):
             from gigalens_tpu.ops.pallas.fused_render import fused_render, pack_params
 
-            p = pack_params(params)
+            if dummy_ll:
+                # zero-amplitude lens light: Ie = 0 kills the component
+                # exactly; the other dummies sit at benign values so the
+                # kernel's intermediate math stays finite (R=1, n=4, e=0)
+                z = jnp.zeros_like(
+                    jnp.reshape(params["lens_mass"][0]["theta_E"], (-1,))
+                )
+                ll = dict(R_sersic=z + 1.0, n_sersic=z + 4.0, e1=z, e2=z,
+                          center_x=z, center_y=z, Ie=z)
+                p = pack_params({**params, "lens_light": [ll]})
+            else:
+                p = pack_params(params)
             out = fused_render(p, self.img_x, self.img_y, self._fused_niter)
             return jnp.broadcast_to(out, (self.bs, self.img_x.shape[0]))
 

@@ -132,3 +132,42 @@ def test_half_angle_matches_arctan2():
     sel = m > 1e-3
     assert np.isfinite(g[:, sel]).all()
     assert np.abs(g[:, sel]).max() < 10.0 / m[sel].min()
+
+
+def test_fused_source_only_parity(setup):
+    """Source-only models ([EPL, Shear] + [] + [SersicEllipse]) ride the
+    fused kernel with a zero-amplitude dummy lens light: forward and
+    gradients match the unfused path, including no spurious gradient from
+    the dummy component."""
+    params, phys, sim = setup
+    so_params = {k: v for k, v in params.items() if k != "lens_light"}
+    phys_so = PhysicalModel([EPL(18), Shear()], [], [SersicEllipse()])
+    cfg = SimulatorConfig(delta_pix=0.065, num_pix=30, supersample=2)
+    sim_so = LensSimulator(phys_so, cfg, bs=3)
+    assert sim_so._fused_niter == 18  # pattern detected
+
+    want = sim_so._flat_light(so_params)
+    z = jnp.zeros_like(so_params["lens_mass"][0]["theta_E"])
+    dummy = dict(R_sersic=z + 1.0, n_sersic=z + 4.0, e1=z, e2=z,
+                 center_x=z, center_y=z, Ie=z)
+    p = pack_params({**so_params, "lens_light": [dummy]})
+    got = fused_render(p, sim_so.img_x, sim_so.img_y, 18, True)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
+
+    def loss_k(sp):
+        pk = pack_params({**sp, "lens_light": [dummy]})
+        return jnp.sum(jnp.sin(
+            fused_render(pk, sim_so.img_x, sim_so.img_y, 18, True) / 50.0))
+
+    def loss_x(sp):
+        return jnp.sum(jnp.sin(sim_so._flat_light(sp) / 50.0))
+
+    from jax.flatten_util import ravel_pytree
+
+    g_k = jax.grad(loss_k)(so_params)
+    g_x = jax.grad(loss_x)(so_params)
+    flat_k, _ = ravel_pytree(g_k)
+    flat_x, _ = ravel_pytree(g_x)
+    np.testing.assert_allclose(np.asarray(flat_k), np.asarray(flat_x),
+                               rtol=2e-3, atol=2e-3)
+    assert np.isfinite(np.asarray(flat_k)).all()
