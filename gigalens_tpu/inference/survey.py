@@ -93,8 +93,15 @@ class SurveySequence:
     """
 
     def __init__(self, phys_model, prob_model, sim_config, mesh=None):
-        if not isinstance(prob_model, SurveyForwardProbModel):
-            raise TypeError("SurveySequence requires a SurveyForwardProbModel")
+        from gigalens_tpu.model import SurveyBackwardProbModel
+
+        if not isinstance(
+            prob_model, (SurveyForwardProbModel, SurveyBackwardProbModel)
+        ):
+            raise TypeError(
+                "SurveySequence requires a SurveyForwardProbModel or "
+                "SurveyBackwardProbModel"
+            )
         self.phys_model = phys_model
         self.prob_model = prob_model
         self.sim_config = sim_config

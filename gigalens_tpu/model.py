@@ -488,3 +488,61 @@ class BackwardProbModel(VersionedAttrs):
 
     def log_prior(self, z):
         return self.prior.log_prob_z(z)
+
+
+class SurveyBackwardProbModel(BackwardProbModel):
+    """Scene-batched lstsq (linear-amplitude) likelihood: the survey twin of
+    :class:`BackwardProbModel`. ``observed_images`` is (S, H, W); every
+    parameter batch is scene-major (``bs = S * K``); each sample's linear
+    amplitudes are solved against its own scene's data
+    (``LensSimulator.lstsq_simulate`` scene mode). ``background_rms`` /
+    ``exp_time`` may be scalars or per-scene (S,) arrays.
+    """
+
+    def __init__(self, prior: Prior, observed_images, background_rms, exp_time):
+        observed_images = jnp.asarray(observed_images, jnp.float32)
+        if observed_images.ndim != 3:
+            raise ValueError(
+                f"observed_images must be (S, H, W); got {observed_images.shape}"
+            )
+        bkg = jnp.reshape(jnp.asarray(background_rms), (-1, 1, 1))
+        exp_t = jnp.reshape(jnp.asarray(exp_time), (-1, 1, 1))
+        err_map = jnp.sqrt(
+            bkg**2 + jnp.clip(observed_images, 0.0, np.inf) / exp_t
+        )
+        self.prior = prior
+        self.observed_image = observed_images
+        self.err_map = err_map
+        self._log_norm = -0.5 * jnp.sum(
+            jnp.log(2 * np.pi * err_map**2), axis=(-2, -1)
+        )  # (S,)
+        self.include_pixels = True
+        self.include_positions = False
+        self.n_position = 0
+        self.n_scenes = int(observed_images.shape[0])
+
+    def stats_pixels(self, simulator, params):
+        im_sim = simulator.lstsq_simulate(
+            params, self.observed_image, self.err_map
+        )  # (bs, H, W), scene-major
+        S = self.n_scenes
+        K = im_sim.shape[0] // S
+        resid = (
+            im_sim.reshape(S, K, *im_sim.shape[1:])
+            - self.observed_image[:, None]
+        ) / self.err_map[:, None]
+        chi2_pix = resid**2
+        log_like = (
+            -0.5 * jnp.sum(chi2_pix, axis=(-2, -1)) + self._log_norm[:, None]
+        )
+        red_chi2 = jnp.mean(chi2_pix, axis=(-2, -1))
+        return log_like.reshape(S * K), red_chi2.reshape(S * K)
+
+    def log_prob(self, simulator, z):
+        x = self.prior.constrain(z)
+        log_like, red_chi2 = self.stats_pixels(simulator, x)
+        log_prior = self.prior.log_prob(x) + self.prior.fldj(z)
+        return log_like + log_prior, red_chi2
+
+    def log_like(self, simulator, z):
+        return self.stats_pixels(simulator, self.prior.constrain(z))[0]

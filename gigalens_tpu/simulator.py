@@ -359,6 +359,10 @@ class LensSimulator(gmodel.VersionedAttrs):
         Solves, per sample, ``argmin_a || (sum_k a_k X_k - Y) / err ||^2`` via
         the normal equations with a pseudo-inverse (rcond=1e-6), matching the
         reference (``jax/simulator.py:187-191``).
+
+        Survey mode: an ``observed_image``/``err_map`` of shape (S, H, W)
+        solves each scene-major sample (``bs = S * K``) against its own
+        scene's data.
         """
         stacked = self._flat_light(
             params, no_deflection=no_deflection, stack_components=True
@@ -368,11 +372,23 @@ class LensSimulator(gmodel.VersionedAttrs):
         if return_stacked:
             return ret
 
-        W = (1.0 / err_map)[..., None]  # (H, W, 1)
-        Y = jnp.reshape(observed_image * jnp.squeeze(W, -1), (1, -1, 1))
-        X = jnp.reshape(ret * W, (self.bs, -1, self.depth))
-        Xt = jnp.swapaxes(X, -1, -2)
-        coeffs = (jnp.linalg.pinv(Xt @ X, rcond=1e-6) @ (Xt @ Y))[..., 0]  # (bs, depth)
+        if jnp.ndim(observed_image) == 3:  # scene-batched data
+            S = observed_image.shape[0]
+            K = self.bs // S
+            Wm = (1.0 / err_map)[:, None, ..., None]  # (S, 1, H, W, 1)
+            Y = jnp.reshape(observed_image / err_map, (S, 1, -1, 1))
+            X = jnp.reshape(
+                ret.reshape(S, K, *ret.shape[1:]) * Wm, (S, K, -1, self.depth)
+            )
+            Xt = jnp.swapaxes(X, -1, -2)
+            coeffs = (jnp.linalg.pinv(Xt @ X, rcond=1e-6) @ (Xt @ Y))[..., 0]
+            coeffs = coeffs.reshape(self.bs, self.depth)  # (bs, depth)
+        else:
+            W = (1.0 / err_map)[..., None]  # (H, W, 1)
+            Y = jnp.reshape(observed_image * jnp.squeeze(W, -1), (1, -1, 1))
+            X = jnp.reshape(ret * W, (self.bs, -1, self.depth))
+            Xt = jnp.swapaxes(X, -1, -2)
+            coeffs = (jnp.linalg.pinv(Xt @ X, rcond=1e-6) @ (Xt @ Y))[..., 0]
         if return_coeffs:
             return coeffs
         out = jnp.sum(ret * coeffs[:, None, None, :], axis=-1)

@@ -67,3 +67,49 @@ def test_backward_log_prob_and_map():
     z1 = seq.MAP(optax.adam(1e-2), start=z0, n_samples=8, num_steps=25)
     lp1, _ = pm.log_prob(LensSimulator(phys, cfg, bs=8), z1)
     assert float(jnp.mean(lp1)) > float(jnp.mean(lp0))
+
+
+def test_survey_backward_matches_single_scene():
+    """SurveyBackwardProbModel: scene-batched lstsq stats == per-scene
+    BackwardProbModel, per-scene noise arrays included."""
+    from gigalens_tpu.model import SurveyBackwardProbModel
+
+    prior, phys, cfg = _setup()
+    phys_amp = PhysicalModel([SIE()], [], [SersicEllipse(use_lstsq=False)])
+    truths = prior.sample(jax.random.PRNGKey(5), 2)
+    truths["source_light"][0]["Ie"] = jnp.asarray([60.0, 110.0])
+    sim_t = LensSimulator(phys_amp, cfg, bs=2)
+    obs = np.asarray(jax.jit(sim_t.simulate)(truths))
+
+    bkgs, exps = np.asarray([0.1, 0.25]), np.asarray([100.0, 60.0])
+    spm = SurveyBackwardProbModel(prior, obs, background_rms=bkgs, exp_time=exps)
+    K = 3
+    z = prior.unconstrain(prior.sample(jax.random.PRNGKey(1), 2 * K))
+    sim = LensSimulator(phys, cfg, bs=2 * K)
+    lp, chi = jax.jit(lambda z: spm.log_prob(sim, z))(z)
+    assert np.isfinite(np.asarray(lp)).all()
+
+    sim_k = LensSimulator(phys, cfg, bs=K)
+    for s in range(2):
+        pm = BackwardProbModel(prior, obs[s], background_rms=float(bkgs[s]),
+                               exp_time=float(exps[s]))
+        lp_one, chi_one = jax.jit(lambda z: pm.log_prob(sim_k, z))(
+            z[s * K : (s + 1) * K]
+        )
+        np.testing.assert_allclose(
+            np.asarray(lp[s * K : (s + 1) * K]), np.asarray(lp_one),
+            rtol=1e-5, atol=1e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(chi[s * K : (s + 1) * K]), np.asarray(chi_one),
+            rtol=1e-4,
+        )
+
+    # drives through SurveySequence (MAP on the lstsq path)
+    from gigalens_tpu.inference.survey import SurveySequence
+
+    seq = SurveySequence(phys, spm, cfg)
+    z_map = seq.MAP(optax.adam(2e-3), n_starts=8, num_steps=10, seed=0)
+    best = seq.best_per_scene(z_map)
+    assert best.shape == (2, prior.d)
+    assert np.isfinite(np.asarray(best)).all()
