@@ -236,6 +236,48 @@ def importance_evidence(prob_model, simulator, q_z, n_samples=4096, seed=0,
     return float(log_z), float(n_eff)
 
 
+def importance_evidence_survey(prob_model, simulator, means, trils,
+                               n_samples=1024, seed=0):
+    """Per-scene importance-sampled log-evidence from the survey surrogates.
+
+    ``means (S, d)`` / ``trils (S, d, d)`` from :func:`fit_svi_survey`;
+    ``simulator`` must be built with ``bs = S * n_samples``. One batched
+    posterior eval yields S evidence estimates — the survey twin of
+    :func:`importance_evidence`, with the same trust gate: per-scene weight
+    ESS below a few means that scene's surrogate misses posterior mass.
+
+    Returns ``(log_z (S,), n_eff (S,))`` numpy arrays.
+    """
+    import numpy as np
+
+    means = jnp.asarray(means)
+    trils = jnp.asarray(trils)
+    S, d = means.shape
+    half_log_2pi_d = 0.5 * d * jnp.log(2 * jnp.pi)
+
+    @jax.jit
+    def _logw(key):
+        eps = jax.random.normal(key, (S, n_samples, d))
+        z = means[:, None] + jnp.einsum("snd,sed->sne", eps, trils)
+        lp_q = (
+            -0.5 * jnp.sum(eps**2, axis=-1)
+            - jnp.sum(
+                jnp.log(jnp.abs(jnp.diagonal(trils, axis1=-2, axis2=-1))),
+                axis=-1,
+            )[:, None]
+            - half_log_2pi_d
+        )  # (S, n)
+        lp, _ = prob_model.log_prob(simulator, z.reshape(S * n_samples, d))
+        return lp.reshape(S, n_samples) - lp_q
+
+    logw = _logw(jax.random.PRNGKey(seed))
+    lse1 = jax.scipy.special.logsumexp(logw, axis=1)
+    lse2 = jax.scipy.special.logsumexp(2 * logw, axis=1)
+    log_z = lse1 - jnp.log(n_samples * 1.0)
+    n_eff = jnp.exp(2 * lse1 - lse2)
+    return np.asarray(log_z), np.asarray(n_eff)
+
+
 def fit_svi_survey(
     prob_model,
     simulator,

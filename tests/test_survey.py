@@ -467,3 +467,27 @@ def test_survey_smc_combined_target_with_positions(survey_setup):
                   target="pixels+positions")
     assert np.isfinite(np.asarray(res.particles)).all()
     assert (np.asarray(res.final_beta) > 0).all()
+
+
+def test_survey_importance_evidence_conjugate():
+    """Per-scene IS evidence with exact per-scene surrogates matches the
+    conjugate analytics of the duck survey model (distinct per scene)."""
+    from gigalens_tpu.inference.svi import importance_evidence_survey
+
+    duck = _DuckSurveyModel()
+
+    class _PM(_DuckSurveyModel):
+        def log_prob(self, sim, z):
+            ll, _ = self.stats_pixels(sim, z)
+            lp = -0.5 * jnp.sum(z**2, -1) - 1.0 * jnp.log(2 * jnp.pi)
+            return ll + lp, ll
+
+    # exact per-scene posteriors: N(0.8, 0.2) and N(-1.6, 0.2) per dim
+    means = jnp.asarray([[0.8, 0.8], [-1.6, -1.6]])
+    trils = jnp.stack([jnp.eye(2), jnp.eye(2)]) * np.sqrt(0.2)
+    log_z, n_eff = importance_evidence_survey(_PM(), None, means, trils,
+                                              n_samples=2048, seed=0)
+    lz_true = [2 * (0.5 * np.log(0.2) - 1.0 / 2.5),
+               2 * (0.5 * np.log(0.2) - 4.0 / 2.5)]
+    np.testing.assert_allclose(log_z, lz_true, atol=0.03)
+    assert (n_eff > 1500).all(), n_eff
