@@ -8,7 +8,12 @@ from gigalens_tpu.inference.map import best_start, fit_map
 from gigalens_tpu.inference.sequence import ModellingSequence
 from gigalens_tpu.inference.smc import SMCResult, fit_smc
 from gigalens_tpu.inference.survey import SurveySequence
-from gigalens_tpu.inference.svi import fit_svi, fit_svi_survey, importance_evidence
+from gigalens_tpu.inference.svi import (
+    fit_svi,
+    fit_svi_survey,
+    importance_evidence,
+    importance_evidence_survey,
+)
 
 __all__ = [
     "ModellingSequence",
@@ -18,6 +23,7 @@ __all__ = [
     "fit_svi",
     "fit_svi_survey",
     "importance_evidence",
+    "importance_evidence_survey",
     "fit_hmc",
     "sample_hmc",
     "HMCResult",
