@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import Dict, List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -245,7 +246,14 @@ class LensSimulator(gmodel.VersionedAttrs):
                 p = pack_params({**params, "lens_light": [ll]})
             else:
                 p = pack_params(params)
-            out = fused_render(p, self.img_x, self.img_y, self._fused_niter)
+            # off-TPU (an explicit use_fused_render=True on CPU, e.g. in
+            # tests) the kernel runs in Pallas interpret mode — numerically
+            # the same program, so the fused branch is integration-testable
+            # without a chip
+            out = fused_render(
+                p, self.img_x, self.img_y, self._fused_niter,
+                interpret=jax.default_backend() != "tpu",
+            )
             return jnp.broadcast_to(out, (self.bs, self.img_x.shape[0]))
 
         x, y = self.img_x, self.img_y

@@ -171,3 +171,24 @@ def test_fused_source_only_parity(setup):
     np.testing.assert_allclose(np.asarray(flat_k), np.asarray(flat_x),
                                rtol=2e-3, atol=2e-3)
     assert np.isfinite(np.asarray(flat_k)).all()
+
+
+def test_fused_simulate_integration_cpu_interpret(setup):
+    """use_fused_render=True off-TPU runs the kernel in interpret mode
+    through the REAL simulate path (both with and without lens light),
+    matching the unfused render end-to-end (PSF-less config)."""
+    import dataclasses
+
+    params, phys, sim = setup
+    cfg = SimulatorConfig(delta_pix=0.065, num_pix=30, supersample=2)
+    for ph, pars in [
+        (phys, params),
+        (PhysicalModel([EPL(18), Shear()], [], [SersicEllipse()]),
+         {k: v for k, v in params.items() if k != "lens_light"}),
+    ]:
+        sim_f = LensSimulator(ph, dataclasses.replace(cfg, use_fused_render=True), bs=3)
+        sim_u = LensSimulator(ph, dataclasses.replace(cfg, use_fused_render=False), bs=3)
+        assert sim_f._use_fused and not sim_u._use_fused
+        got = np.asarray(sim_f.simulate(pars))
+        want = np.asarray(sim_u.simulate(pars))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
