@@ -127,52 +127,16 @@ obs = truth_img + rng.normal(size=truth_img.shape).astype(np.float32) * np.sqrt(
 # position likelihood contradict the pixel likelihood and the joint
 # posterior multimodal (measured: HMC split-R-hat ~3 with fixed synthetic
 # points vs ~1 with traced images on this scene).
-from scipy.ndimage import minimum_filter
+from gigalens_tpu.utils import find_images
 
 src_cx = float(np.asarray(truth["source_light"][0]["center_x"])[0])
 src_cy = float(np.asarray(truth["source_light"][0]["center_y"])[0])
-beta_fn = jax.jit(
-    lambda x, y, p: sim1.beta(jnp.atleast_1d(x), jnp.atleast_1d(y), p)
+# grid-scan candidates Newton-refined on the lens equation (the shared
+# utility; only machine-accurate images are consistent with the position
+# likelihood's magnification-scaled errors)
+img_pos_x, img_pos_y, _ = find_images(
+    sim1, truth["lens_mass"], src_cx, src_cy, search_window=4.0
 )
-hess_fn = jax.jit(
-    lambda x, y, p: sim1.hessian(jnp.atleast_1d(x), jnp.atleast_1d(y), p)
-)
-bx, by = beta_fn(sim1.img_x, sim1.img_y, truth["lens_mass"])
-d2 = (np.asarray(bx)[0] - src_cx) ** 2 + (np.asarray(by)[0] - src_cy) ** 2
-d2 = d2.reshape(sim1.h_ss, sim1.w_ss)
-cand = (d2 == minimum_filter(d2, size=5)) & (d2 < (4 * sim_config.delta_pix) ** 2)
-rr, cc = np.where(cand)
-gx = np.asarray(sim1.img_x).reshape(sim1.h_ss, sim1.w_ss)
-gy = np.asarray(sim1.img_y).reshape(sim1.h_ss, sim1.w_ss)
-
-# Grid minima are only half-pixel-accurate — refine each with Newton on the
-# lens equation beta(theta) = beta_src (Jacobian A = I - hessian); only
-# machine-accurate images are consistent with the position likelihood's
-# magnification-scaled errors.
-img_pos = []
-for r0, c0 in zip(rr, cc):
-    x, y = float(gx[r0, c0]), float(gy[r0, c0])
-    for _ in range(20):
-        bxi, byi = beta_fn(x, y, truth["lens_mass"])
-        fxx, fxy, fyx, fyy = hess_fn(x, y, truth["lens_mass"])
-        res = np.array([float(bxi[0, 0]) - src_cx, float(byi[0, 0]) - src_cy])
-        a = np.array([[1 - float(fxx[0, 0]), -float(fxy[0, 0])],
-                      [-float(fyx[0, 0]), 1 - float(fyy[0, 0])]])
-        if abs(np.linalg.det(a)) < 1e-8 or not np.isfinite(res).all():
-            break
-        step = np.linalg.solve(a, res)
-        x, y = x - step[0], y - step[1]
-        if float(res @ res) < 1e-12:
-            break
-    bxi, byi = beta_fn(x, y, truth["lens_mass"])
-    res2 = (float(bxi[0, 0]) - src_cx) ** 2 + (float(byi[0, 0]) - src_cy) ** 2
-    if res2 < 1e-8 and all(
-        (x - px) ** 2 + (y - py) ** 2 > sim_config.delta_pix**2
-        for px, py in img_pos
-    ):
-        img_pos.append((x, y))
-img_pos_x = np.array([p[0] for p in img_pos], np.float32)
-img_pos_y = np.array([p[1] for p in img_pos], np.float32)
 print(f"traced {len(img_pos_x)} multiple images of the true source "
       "(Newton-refined to <1e-4\" src-plane residual): "
       + ", ".join(f"({px:+.2f},{py:+.2f})" for px, py in zip(img_pos_x, img_pos_y)))

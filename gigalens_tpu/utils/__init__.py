@@ -3,6 +3,7 @@ from gigalens_tpu.utils.diagnostics import (
     effective_sample_size,
     potential_scale_reduction,
 )
+from gigalens_tpu.utils.images import find_images
 from gigalens_tpu.utils.summary import format_summary, summarize_posterior
 
 __all__ = [
@@ -11,4 +12,5 @@ __all__ = [
     "potential_scale_reduction",
     "summarize_posterior",
     "format_summary",
+    "find_images",
 ]

@@ -116,3 +116,33 @@ def test_sequence_summarize_convenience(demo_prior, demo_physmodel,
     s = seq.summarize(res)
     assert "lens_mass/0/theta_E" in s
     assert s["_global"]["divergences"] == 0
+
+
+def test_find_images_sis_analytic():
+    """SIS lens: a source at beta < theta_E on the x-axis has exactly two
+    images at x = beta + theta_E and x = beta - theta_E, with known
+    magnifications (theta/beta at each image)."""
+    from gigalens_tpu import PhysicalModel, SimulatorConfig
+    from gigalens_tpu.profiles.light.sersic import SersicEllipse
+    from gigalens_tpu.profiles.mass.sie import SIS
+    from gigalens_tpu.simulator import LensSimulator
+    from gigalens_tpu.utils import find_images
+
+    theta_E, beta = 1.2, 0.3
+    phys = PhysicalModel([SIS()], [], [SersicEllipse()])
+    cfg = SimulatorConfig(delta_pix=0.08, num_pix=50, supersample=2)
+    sim = LensSimulator(phys, cfg, bs=1)
+    lens_params = [dict(theta_E=jnp.asarray([theta_E]),
+                        center_x=jnp.asarray([0.0]),
+                        center_y=jnp.asarray([0.0]))]
+    ix, iy, mags = find_images(sim, lens_params, beta, 0.0,
+                               search_window=6.0)
+    assert len(ix) == 2, (ix, iy)
+    got = np.sort(ix)
+    np.testing.assert_allclose(got, [beta - theta_E, beta + theta_E],
+                               atol=1e-4)
+    np.testing.assert_allclose(iy, 0.0, atol=1e-4)
+    # SIS magnifications: theta / beta at each image -> |mu| = theta/|beta|
+    want_mu = np.sort(np.abs(np.asarray(
+        [(beta + theta_E) / beta, (theta_E - beta) / beta])))
+    np.testing.assert_allclose(np.sort(np.abs(mags)), want_mu, rtol=1e-3)
