@@ -333,3 +333,27 @@ def test_importance_evidence_conjugate():
     log_z_b, n_eff_b = importance_evidence(_PM(), None, q_bad,
                                            n_samples=4096, seed=0)
     assert n_eff_b < n_eff / 3, (n_eff_b, n_eff)
+
+
+def test_multi_window_mass_adaptation_moments():
+    """mass_adaptation=2 (two Stan-style warmup windows) keeps correct
+    posterior moments and a healthy acceptance on the correlated Gaussian."""
+    d = 5
+    rng = np.random.default_rng(1)
+    A = rng.normal(size=(d, d)).astype(np.float32)
+    cov = A @ A.T + np.eye(d, dtype=np.float32)
+    prec = np.linalg.inv(cov)
+
+    def log_prob(z):
+        return -0.5 * jnp.sum((z @ prec) * z, -1)
+
+    res = sample_hmc(
+        log_prob, jnp.zeros((32, d)), jax.random.PRNGKey(0),
+        step_size=0.2, num_leapfrog_steps=3,
+        num_burnin_steps=400, num_results=800,
+        trajectory_adaptation="chees", mass_adaptation=2,
+    )
+    s = np.asarray(res.samples).reshape(-1, d)
+    assert float(np.asarray(res.accept_rate)[-200:].mean()) > 0.5
+    np.testing.assert_allclose(np.var(s, 0), np.diag(cov), rtol=0.3)
+    np.testing.assert_allclose(s.mean(0), 0.0, atol=0.35)
