@@ -12,9 +12,13 @@ has no evidence machinery. Requires prior-initialized SMC (`start=None`).
 Evidence estimates need enough particles: at P=128 on this problem the
 per-ensemble spread reaches ~20-30 nats (weight degeneracy through the
 hardest temperature transitions — raising ess_threshold_ratio to 0.9 does
-not fix it), while P=256 brings it to ~1-6 nats. Run multiple ensembles and
-treat their spread as the error bar; a |log BF| smaller than the spread is
-noise.
+not fix it), while P=256 brings it to ~1-6 nats. The estimator is also
+biased LOW at insufficient P (Jensen: the log of a degenerate-weight
+average under-estimates): measured P=256 -> P=512 moves logZ_EPL from
+~78 to ~85-89 and logZ_SIE from ~65-71 down to ~59, widening the Bayes
+factor from +10 to +28 nats. Run multiple ensembles, treat their spread as
+the error bar, and check P-convergence before quoting a marginal |log BF|;
+a decisive one (tens of nats) survives all of this.
 
 Usage:
     python examples/demo_model_comparison.py [--cpu] [--particles 256]
