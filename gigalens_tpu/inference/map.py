@@ -10,7 +10,6 @@ samples of ``-log_prob / event_size``.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

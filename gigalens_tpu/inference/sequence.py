@@ -7,7 +7,6 @@ builds its own ``LensSimulator`` with the right batch size, like the reference.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import optax

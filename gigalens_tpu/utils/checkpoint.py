@@ -9,7 +9,6 @@ sharded model states, not (n, d) matrices).
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

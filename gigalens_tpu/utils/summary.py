@@ -9,7 +9,7 @@ means, stddevs, quantiles, split-R-hat, ESS, and divergence counts, keyed by
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
