@@ -244,6 +244,7 @@ class ModellingSequence:
         max_stage: int = 100,
         target: str = "pixels",
         auxiliar: str = "positions",
+        precondition_moves: bool = True,
         seed: int = 1,
         segment_stages: int = 0,
         progress=None,
@@ -264,6 +265,7 @@ class ModellingSequence:
             max_stage=max_stage,
             target=target,
             auxiliar=auxiliar,
+            precondition_moves=precondition_moves,
             seed=seed,
             mesh=self.mesh,
             segment_stages=segment_stages,

@@ -91,6 +91,7 @@ def fit_smc(
     target: str = "pixels",
     auxiliar: str = "positions",
     optimal_accept: float = 0.651,
+    precondition_moves: bool = True,
     seed: int = 1,
     mesh=None,
     segment_stages: int = 0,
@@ -262,22 +263,50 @@ def fit_smc(
         full_ok = log_ess(1.0 - beta) >= target_log_ess
         return jnp.where(full_ok, 1.0 - beta, 0.5 * (lo + hi))
 
-    def hmc_move(key, part: _Particles, beta, log_scalings):
-        """One HMC step per particle at the tempered target (identity mass).
+    def move_tril(z):
+        """Per-ensemble preconditioner for the HMC moves: the Cholesky factor
+        of the (ridged) particle covariance. The particle cloud at each stage
+        IS a sample of the current tempered target, so its covariance is the
+        natural mass matrix — the same role the VI covariance plays for the
+        main HMC driver. Ridge keeps a collapsed cloud decomposable."""
+        zc = z - jnp.mean(z, axis=0, keepdims=True)  # (P, E, d)
+        cov = jnp.einsum("ped,pef->edf", zc, zc) / P
+        tr = jnp.trace(cov, axis1=-2, axis2=-1)[:, None, None]
+        cov = cov + (1e-3 * tr / d + 1e-10) * jnp.eye(d, dtype=cov.dtype)
+        return jnp.linalg.cholesky(cov)
+
+    def hmc_move(key, part: _Particles, beta, log_scalings, tril=None):
+        """One HMC step per particle at the tempered target.
+
+        ``tril``: optional (E, d, d) per-ensemble mass preconditioner
+        (momentum ~ N(0, Sigma^{-1}), drift = eps * Sigma p — identical
+        conventions to ``inference.hmc``); None = identity mass.
 
         Consumes and returns cached part values/gradients: the leading
         gradient comes from the carry (no eval) and the proposal's parts are
         accept-selected back into the carry for the next move or stage."""
         eps = jnp.exp(log_scalings)[..., None]  # (P, E, 1)
 
+        if tril is None:
+            drift = kinetic_t = lambda p: p
+        else:
+            m = tril @ jnp.swapaxes(tril, -1, -2)  # Sigma (E, d, d)
+            inv_l = jax.scipy.linalg.solve_triangular(
+                tril, jnp.broadcast_to(jnp.eye(d, dtype=tril.dtype), tril.shape),
+                lower=True,
+            )
+            drift = lambda p: jnp.einsum("ped,edf->pef", p, m)
+            kinetic_t = lambda p: jnp.einsum("ped,edi->pei", p, tril)
+
         lp_val = tempered_of(part, beta)
         k_mom, k_acc = jax.random.split(key)
-        p0 = jax.random.normal(k_mom, part.z.shape, part.z.dtype)
+        eps_n = jax.random.normal(k_mom, part.z.shape, part.z.dtype)
+        p0 = eps_n if tril is None else jnp.einsum("ped,edi->pei", eps_n, inv_l)
         p = p0 + 0.5 * eps * grad_of(part, beta)
 
         def leap(_, carry):
             prt, p = carry
-            prt = eval_particles(prt.z + eps * p)
+            prt = eval_particles(prt.z + eps * drift(p))
             p = p + eps * grad_of(prt, beta)
             return prt, p
 
@@ -287,8 +316,8 @@ def fit_smc(
         p_new = p_new - 0.5 * eps * grad_of(part_new, beta)
         lp_new = tempered_of(part_new, beta)
 
-        kin0 = 0.5 * jnp.sum(p0**2, -1)
-        kin1 = 0.5 * jnp.sum(p_new**2, -1)
+        kin0 = 0.5 * jnp.sum(kinetic_t(p0) ** 2, -1)
+        kin1 = 0.5 * jnp.sum(kinetic_t(p_new) ** 2, -1)
         log_accept = (lp_new - kin1) - (lp_val - kin0)
         log_accept = jnp.where(jnp.isnan(log_accept), -jnp.inf, log_accept)
         u = jax.random.uniform(k_acc, log_accept.shape, minval=1e-10)
@@ -343,11 +372,17 @@ def fit_smc(
         part = jax.tree_util.tree_map(to_e, part_t)
         log_scalings = to_e(ls_t)
 
-        # MCMC moves at the new temperature
+        # MCMC moves at the new temperature. With preconditioning, the mass
+        # is FIXED for the stage (computed from the post-resampling cloud):
+        # a per-move state-dependent mass would break the kernel's
+        # invariance; one particle's O(1/P) influence on the shared
+        # covariance is the standard adaptive-SMC approximation.
+        tril = move_tril(part.z) if precondition_moves else None
+
         def move(i, carry):
             part, acc_sum, k = carry
             k, k_step = jax.random.split(k)
-            part, acc = hmc_move(k_step, part, beta_new, log_scalings)
+            part, acc = hmc_move(k_step, part, beta_new, log_scalings, tril)
             return part, acc_sum + acc, k
 
         part, acc_sum, _ = jax.lax.fori_loop(
@@ -383,9 +418,9 @@ def fit_smc(
     # the same bounded segments as the tempering loop (a 100-step chain at
     # bs >= 500 in one dispatch exceeds the axon tunnel's execution limit)
     @jax.jit
-    def post_chunk(part, log_scalings, keys):
+    def post_chunk(part, log_scalings, keys, tril):
         def post_step(part, key):
-            part, _ = hmc_move(key, part, jnp.ones((E,)), log_scalings)
+            part, _ = hmc_move(key, part, jnp.ones((E,)), log_scalings, tril)
             return part, part.z.reshape(n, d)
 
         part, post = jax.lax.scan(post_step, part, keys)
@@ -410,9 +445,12 @@ def fit_smc(
         n_chunks = -(-post_sampling_steps // chunk)
         size = -(-post_sampling_steps // n_chunks)
         keys = jax.random.split(s.key, size * n_chunks)
+        # fixed mass for the whole post chain, from the final particle cloud
+        tril = jax.jit(move_tril)(s.part.z) if precondition_moves else None
         part, parts = s.part, []
         for lo in range(0, size * n_chunks, size):
-            part, post = post_chunk(part, s.log_scalings, keys[lo : lo + size])
+            part, post = post_chunk(part, s.log_scalings, keys[lo : lo + size],
+                                    tril)
             jax.block_until_ready(post)
             parts.append(post)
         # particles stay the beta=1 tempering output (the post chain is a

