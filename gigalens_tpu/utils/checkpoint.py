@@ -64,8 +64,30 @@ def load_hmc(path: str):
     )
 
 
+def save_smc(path: str, result):
+    np.savez(path, particles=np.asarray(result.particles),
+             num_stages=np.asarray(result.num_stages),
+             log_scalings=np.asarray(result.log_scalings),
+             post_samples=np.asarray(result.post_samples),
+             final_beta=np.asarray(result.final_beta),
+             log_evidence=np.asarray(result.log_evidence))
+
+
+def load_smc(path: str):
+    from gigalens_tpu.inference.smc import SMCResult
+
+    d = np.load(path)
+    lz = d["log_evidence"] if "log_evidence" in d else np.zeros(())
+    return SMCResult(
+        jnp.asarray(d["particles"]), jnp.asarray(d["num_stages"]),
+        jnp.asarray(d["log_scalings"]), jnp.asarray(d["post_samples"]),
+        jnp.asarray(d["final_beta"]), jnp.asarray(lz),
+    )
+
+
 class PipelineCheckpointer:
-    """Resumable MAP -> SVI -> HMC runner: skips phases with saved results."""
+    """Resumable MAP -> SVI -> HMC (/ SMC) runner: skips phases with saved
+    results."""
 
     def __init__(self, directory: str):
         self.dir = directory
@@ -96,4 +118,11 @@ class PipelineCheckpointer:
             return load_hmc(self._p("hmc"))
         res = fn()
         save_hmc(self._p("hmc"), res)
+        return res
+
+    def run_smc(self, fn):
+        if self.has("smc"):
+            return load_smc(self._p("smc"))
+        res = fn()
+        save_smc(self._p("smc"), res)
         return res

@@ -146,3 +146,18 @@ def test_find_images_sis_analytic():
     want_mu = np.sort(np.abs(np.asarray(
         [(beta + theta_E) / beta, (theta_E - beta) / beta])))
     np.testing.assert_allclose(np.sort(np.abs(mags)), want_mu, rtol=1e-3)
+
+
+def test_checkpointer_smc_roundtrip(tmp_path):
+    from gigalens_tpu.inference.smc import SMCResult
+    from gigalens_tpu.utils.checkpoint import PipelineCheckpointer
+
+    cp = PipelineCheckpointer(str(tmp_path))
+    res = SMCResult(jnp.ones((8, 2, 3)), jnp.asarray(7),
+                    jnp.zeros((8, 2)), jnp.ones((4, 16, 3)),
+                    jnp.ones(2), jnp.asarray([-3.5, -3.6]))
+    r1 = cp.run_smc(lambda: res)
+    r2 = cp.run_smc(lambda: (_ for _ in ()).throw(AssertionError("no rerun")))
+    np.testing.assert_allclose(r1.particles, r2.particles)
+    np.testing.assert_allclose(np.asarray(r2.log_evidence), [-3.5, -3.6])
+    assert int(r2.num_stages) == 7
