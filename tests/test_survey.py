@@ -491,3 +491,27 @@ def test_survey_importance_evidence_conjugate():
                2 * (0.5 * np.log(0.2) - 4.0 / 2.5)]
     np.testing.assert_allclose(log_z, lz_true, atol=0.03)
     assert (n_eff > 1500).all(), n_eff
+
+
+def test_grouped_hmc_with_multi_window_warmup():
+    """n_groups=2 with mass_adaptation=2 (per-group repeated warmup windows)
+    keeps shapes and per-group posterior scales correct."""
+    d, C = 3, 16
+    scales_g = jnp.asarray([0.2, 2.0])
+
+    def log_prob(z):
+        s = jnp.repeat(scales_g, C)[:, None]
+        return -0.5 * jnp.sum((z / s) ** 2, -1)
+
+    z0 = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (2 * C, d))
+    tril = jnp.stack([jnp.eye(d) * 0.2, jnp.eye(d) * 2.0])
+    res = sample_hmc(
+        log_prob, z0, jax.random.PRNGKey(3), step_size=0.2,
+        num_leapfrog_steps=3, num_burnin_steps=300, num_results=400,
+        momentum_covariance_tril=tril, trajectory_adaptation="chees",
+        mass_adaptation=2, n_groups=2,
+    )
+    assert res.step_size.shape == (2,)
+    s = np.asarray(res.samples)
+    np.testing.assert_allclose(s[:, :C].reshape(-1, d).std(0), 0.2, rtol=0.2)
+    np.testing.assert_allclose(s[:, C:].reshape(-1, d).std(0), 2.0, rtol=0.2)
