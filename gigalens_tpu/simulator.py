@@ -140,15 +140,22 @@ class LensSimulator(gmodel.VersionedAttrs):
 
     @staticmethod
     def _detect_fused_pattern(phys_model):
-        """Returns the EPL niter if the model is [EPL, Shear] + [SersicEllipse]
-        + [SersicEllipse] with no fixed constants, else None. A source-only
-        model ([EPL, Shear] + [] + [SersicEllipse]) also qualifies: the
-        kernel's lens-light component is fed a zero-amplitude dummy (the
-        wasted component is far cheaper than falling back to the unfused
-        path)."""
+        """Returns the EPL niter if the model is [EPL|SIE, Shear] +
+        [SersicEllipse]? + [SersicEllipse] with no fixed constants, else
+        None. Two degenerate patterns ride the same kernel:
+
+        * source-only models (no lens light) feed the kernel a
+          zero-amplitude dummy lens light;
+        * an SIE deflector is evaluated as EPL at gamma = 2 (exact special
+          case; kernel series vs the closed form agree to ~5e-7 absolute,
+          measured) with ``recommended_niter`` depth.
+
+        The wasted/duplicated component math is far cheaper than falling
+        back to the unfused path."""
         from gigalens_tpu.profiles.light.sersic import SersicEllipse
         from gigalens_tpu.profiles.mass.epl import EPL
         from gigalens_tpu.profiles.mass.shear import Shear
+        from gigalens_tpu.profiles.mass.sie import SIE
 
         pm = phys_model
         ll_ok = len(pm.lens_light) == 0 or (
@@ -158,7 +165,7 @@ class LensSimulator(gmodel.VersionedAttrs):
         )
         ok = (
             len(pm.lenses) == 2
-            and type(pm.lenses[0]) is EPL
+            and type(pm.lenses[0]) in (EPL, SIE)
             and type(pm.lenses[1]) is Shear
             and ll_ok
             and len(pm.source_light) == 1
@@ -168,7 +175,11 @@ class LensSimulator(gmodel.VersionedAttrs):
             and all(not c for c in pm.lens_light_constants)
             and all(not c for c in pm.source_light_constants)
         )
-        return pm.lenses[0].niter if ok else None
+        if not ok:
+            return None
+        if type(pm.lenses[0]) is SIE:
+            return EPL.recommended_niter(q_min=0.43, tol=1e-8)
+        return pm.lenses[0].niter
 
     # ------------------------------------------------------------------
     # field quantities (lens_params: list of per-profile dicts, (bs,) leaves)
@@ -234,18 +245,26 @@ class LensSimulator(gmodel.VersionedAttrs):
         ):
             from gigalens_tpu.ops.pallas.fused_render import fused_render, pack_params
 
+            fp = params
+            if "gamma" not in params["lens_mass"][0]:
+                # SIE deflector: EPL at the constant gamma = 2 (exact special
+                # case; the constant column carries no gradient)
+                lm0 = dict(params["lens_mass"][0])
+                lm0["gamma"] = jnp.full_like(
+                    jnp.reshape(lm0["theta_E"], (-1,)), 2.0
+                )
+                fp = {**params, "lens_mass": [lm0, params["lens_mass"][1]]}
             if dummy_ll:
                 # zero-amplitude lens light: Ie = 0 kills the component
                 # exactly; the other dummies sit at benign values so the
                 # kernel's intermediate math stays finite (R=1, n=4, e=0)
                 z = jnp.zeros_like(
-                    jnp.reshape(params["lens_mass"][0]["theta_E"], (-1,))
+                    jnp.reshape(fp["lens_mass"][0]["theta_E"], (-1,))
                 )
                 ll = dict(R_sersic=z + 1.0, n_sersic=z + 4.0, e1=z, e2=z,
                           center_x=z, center_y=z, Ie=z)
-                p = pack_params({**params, "lens_light": [ll]})
-            else:
-                p = pack_params(params)
+                fp = {**fp, "lens_light": [ll]}
+            p = pack_params(fp)
             # off-TPU (an explicit use_fused_render=True on CPU, e.g. in
             # tests) the kernel runs in Pallas interpret mode — numerically
             # the same program, so the fused branch is integration-testable

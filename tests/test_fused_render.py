@@ -71,10 +71,17 @@ def test_fused_gradient_parity(setup):
 def test_fused_pattern_detection(setup):
     params, phys, sim = setup
     assert sim._fused_niter == 18
-    # wrong pattern -> no fusion
+    # SIE rides the kernel as EPL at gamma = 2
     from gigalens_tpu.profiles.mass.sie import SIE
 
-    phys_bad = PhysicalModel([SIE(), Shear()], [SersicEllipse()], [SersicEllipse()])
+    phys_sie = PhysicalModel([SIE(), Shear()], [SersicEllipse()], [SersicEllipse()])
+    assert LensSimulator._detect_fused_pattern(phys_sie) == EPL.recommended_niter(
+        q_min=0.43, tol=1e-8
+    )
+    # wrong pattern -> no fusion
+    from gigalens_tpu.profiles.mass.nfw import NFW
+
+    phys_bad = PhysicalModel([NFW(), Shear()], [SersicEllipse()], [SersicEllipse()])
     assert LensSimulator._detect_fused_pattern(phys_bad) is None
     phys_const = PhysicalModel(
         [EPL(18), Shear()], [SersicEllipse()], [SersicEllipse()],
@@ -192,3 +199,42 @@ def test_fused_simulate_integration_cpu_interpret(setup):
         got = np.asarray(sim_f.simulate(pars))
         want = np.asarray(sim_u.simulate(pars))
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
+
+
+def test_fused_sie_pattern_integration(setup):
+    """SIE+Shear models ride the fused kernel as EPL at gamma = 2: simulate
+    (and its gradient) matches the unfused SIE path through the real
+    dispatch, including SIE + source-only."""
+    import dataclasses
+
+    from gigalens_tpu.profiles.mass.sie import SIE
+
+    params, phys, sim = setup
+    sie_params = {
+        **params,
+        "lens_mass": [
+            {k: v for k, v in params["lens_mass"][0].items() if k != "gamma"},
+            params["lens_mass"][1],
+        ],
+    }
+    cfg = SimulatorConfig(delta_pix=0.065, num_pix=30, supersample=2)
+    for ph, pars in [
+        (PhysicalModel([SIE(), Shear()], [SersicEllipse()], [SersicEllipse()]),
+         sie_params),
+        (PhysicalModel([SIE(), Shear()], [], [SersicEllipse()]),
+         {k: v for k, v in sie_params.items() if k != "lens_light"}),
+    ]:
+        sim_f = LensSimulator(ph, dataclasses.replace(cfg, use_fused_render=True), bs=3)
+        sim_u = LensSimulator(ph, dataclasses.replace(cfg, use_fused_render=False), bs=3)
+        got = np.asarray(sim_f.simulate(pars))
+        want = np.asarray(sim_u.simulate(pars))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-3)
+
+        from jax.flatten_util import ravel_pytree
+
+        g_f = jax.grad(lambda p: jnp.sum(jnp.sin(sim_f.simulate(p) / 50.0)))(pars)
+        g_u = jax.grad(lambda p: jnp.sum(jnp.sin(sim_u.simulate(p) / 50.0)))(pars)
+        ff, _ = ravel_pytree(g_f)
+        fu, _ = ravel_pytree(g_u)
+        np.testing.assert_allclose(np.asarray(ff), np.asarray(fu),
+                                   rtol=6e-3, atol=6e-3)
