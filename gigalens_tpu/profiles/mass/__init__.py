@@ -1,6 +1,8 @@
 from gigalens_tpu.profiles.mass.dpie import DPIE, DPIEP, DPIS
 from gigalens_tpu.profiles.mass.dpie_subhalo import DPIESubhalo, DPIESubhaloSeries
 from gigalens_tpu.profiles.mass.epl import EPL
+from gigalens_tpu.profiles.mass.hernquist import Hernquist, HernquistEllipse
+from gigalens_tpu.profiles.mass.multipole import Multipole
 from gigalens_tpu.profiles.mass.nfw import NFW, NFW_ELLIPSE, TNFW
 from gigalens_tpu.profiles.mass.point import MassSheet, PointMass
 from gigalens_tpu.profiles.mass.scaling import ScalingRelation
@@ -26,4 +28,7 @@ __all__ = [
     "DPIESubhaloSeries",
     "PointMass",
     "MassSheet",
+    "Hernquist",
+    "HernquistEllipse",
+    "Multipole",
 ]
