@@ -62,10 +62,20 @@ def main():
     pm = ForwardProbModel(prior, obs, background_rms=0.2, exp_time=100.0)
     seq = ModellingSequence(phys, pm, cfg)
 
+    # Preconditioned-move recipe (CPU-measured, BASELINE.md round-2
+    # continuation): with the per-ensemble particle-covariance mass,
+    # L=3 matches L=5/10 quality at ~1/3 the renders and
+    # ess_threshold_ratio=0.6 cuts the stage count ~1.6x at equal
+    # chi2/logZ. Env overrides keep the old configuration reachable:
+    # GIGALENS_SMC_L=10 GIGALENS_SMC_THR=0.8 restores the reference-like
+    # settings used for the round-1/round-2 table entries.
+    L = int(_os.environ.get("GIGALENS_SMC_L", 3))
+    thr = float(_os.environ.get("GIGALENS_SMC_THR", 0.6))
     t0 = time.time()
     res = seq.SMC(start=None, num_particles=particles,
                   num_ensembles=ensembles,
-                  num_leapfrog_steps=10, post_sampling_steps=100,
+                  num_leapfrog_steps=L, post_sampling_steps=100,
+                  ess_threshold_ratio=thr,
                   max_stage=200, seed=1, segment_stages=5,
                   progress=lambda st, b: print(f"  stage {st} beta {b:.4f} t={time.time()-t0:.0f}s", flush=True))
     jax.block_until_ready(res.particles)
@@ -79,8 +89,10 @@ def main():
     print(
         f"SMC: {dt:.1f}s  particles={particles}x{ensembles} stages={int(res.num_stages)} "
         f"final beta={float(res.final_beta[0]):.3f} "
+        f"L={L} thr={thr} "
         f"posterior chi2 mean {np.nanmean(chi2):.4f} "
-        f"(finite {np.isfinite(chi2).mean():.3f})",
+        f"(finite {np.isfinite(chi2).mean():.3f}) "
+        f"logZ {np.asarray(res.log_evidence).ravel()}",
         flush=True,
     )
     # posterior spread sanity: truth recovery of theta_E
