@@ -8,12 +8,13 @@ from gigalens_tpu.profiles.mass.point import MassSheet, PointMass
 from gigalens_tpu.profiles.mass.scaling import ScalingRelation
 from gigalens_tpu.profiles.mass.series import MassSeries, ScalingRelationSeries
 from gigalens_tpu.profiles.mass.shear import Shear
-from gigalens_tpu.profiles.mass.sie import SIE, SIS
+from gigalens_tpu.profiles.mass.sie import NIE, SIE, SIS
 
 __all__ = [
     "EPL",
     "SIE",
     "SIS",
+    "NIE",
     "Shear",
     "NFW",
     "NFW_ELLIPSE",

@@ -11,6 +11,27 @@ import jax.numpy as jnp
 from gigalens_tpu.profiles.base import MassProfile, ellipticity_to_polar, rotate
 
 
+def _kormann_deriv(x, y, theta_E, q, phi, s_scale, center_x, center_y):
+    """Kormann (1994) cored isothermal-ellipsoid deflection in the rotated
+    frame; ``s_scale = 0`` is the singular (SIE) case."""
+    # intermediate-axis normalization of theta_E
+    b = theta_E * jnp.sqrt(2 * q / (1 + q**2)) * jnp.sqrt((1 + q**2) / 2)
+    s = s_scale * jnp.sqrt((1 + q**2) / (2 * q**2))
+
+    x, y = rotate(x - center_x, y - center_y, phi)
+    psi = jnp.sqrt(q**2 * (s**2 + x**2) + y**2)
+    # Floor 1 - q^2: at exactly e1 = e2 = 0 (a start from the prior
+    # mean) f32 rounds q to 1.0 and the raw sqrt gives root = 0, making
+    # b/root * arctan(0) = inf * 0 = NaN in the forward value itself.
+    # With the floor, arctan(root*u)/root = u + O(root^2 u^3) resolves
+    # to the SIS limit b*x/psi with ~1e-11 relative error, and the
+    # max() kills the (spurious) infinite dq branch of the gradient.
+    root = jnp.sqrt(jnp.maximum(1.0 - q**2, 1e-10))
+    fx = b / root * jnp.arctan(root * x / (psi + s))
+    fy = b / root * jnp.arctanh(root * y / (psi + q**2 * s))
+    return rotate(fx, fy, -phi)
+
+
 class SIE(MassProfile):
     _name = "SIE"
     _params = ["theta_E", "e1", "e2", "center_x", "center_y"]
@@ -20,22 +41,27 @@ class SIE(MassProfile):
 
     def deriv(self, x, y, theta_E, e1, e2, center_x, center_y):
         _, q, phi = ellipticity_to_polar(e1, e2)
-        # intermediate-axis normalization of theta_E
-        b = theta_E * jnp.sqrt(2 * q / (1 + q**2)) * jnp.sqrt((1 + q**2) / 2)
-        s = self.s_scale * jnp.sqrt((1 + q**2) / (2 * q**2))
+        return _kormann_deriv(
+            x, y, theta_E, q, phi, self.s_scale, center_x, center_y
+        )
 
-        x, y = rotate(x - center_x, y - center_y, phi)
-        psi = jnp.sqrt(q**2 * (s**2 + x**2) + y**2)
-        # Floor 1 - q^2: at exactly e1 = e2 = 0 (a start from the prior
-        # mean) f32 rounds q to 1.0 and the raw sqrt gives root = 0, making
-        # b/root * arctan(0) = inf * 0 = NaN in the forward value itself.
-        # With the floor, arctan(root*u)/root = u + O(root^2 u^3) resolves
-        # to the SIS limit b*x/psi with ~1e-11 relative error, and the
-        # max() kills the (spurious) infinite dq branch of the gradient.
-        root = jnp.sqrt(jnp.maximum(1.0 - q**2, 1e-10))
-        fx = b / root * jnp.arctan(root * x / (psi + s))
-        fy = b / root * jnp.arctanh(root * y / (psi + q**2 * s))
-        return rotate(fx, fy, -phi)
+
+class NIE(MassProfile):
+    """Non-singular isothermal ellipsoid: the SIE with the core radius
+    ``s_scale`` promoted to a fit parameter.
+
+    The reference's SIE declares an ``s_scale`` attribute but always passes 0
+    (``src/gigalens/jax/profiles/mass/sie.py:11,16``); this makes the cored
+    variant — the standard model when the central image matters or the
+    deflector is a group — a first-class profile.
+    """
+
+    _name = "NIE"
+    _params = ["theta_E", "e1", "e2", "s_scale", "center_x", "center_y"]
+
+    def deriv(self, x, y, theta_E, e1, e2, s_scale, center_x, center_y):
+        _, q, phi = ellipticity_to_polar(e1, e2)
+        return _kormann_deriv(x, y, theta_E, q, phi, s_scale, center_x, center_y)
 
 
 class SIS(MassProfile):

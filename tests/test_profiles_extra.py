@@ -194,3 +194,48 @@ def test_gaussian_param_contract():
     assert g.params == ["sigma", "e1", "e2", "center_x", "center_y", "amp"]
     g2 = Gaussian(use_lstsq=True)
     assert g2.params == ["sigma", "e1", "e2", "center_x", "center_y"]
+
+
+# ---------------------------------------------------------------------- NIE
+def test_nie_reduces_to_sie(rng):
+    from gigalens_tpu.profiles.mass.sie import NIE, SIE
+
+    x = (rng.normal(size=400) * 2).astype(np.float32)
+    y = (rng.normal(size=400) * 2).astype(np.float32)
+    kw = dict(theta_E=1.3, e1=0.15, e2=-0.08, center_x=0.05, center_y=0.0)
+    got = NIE().deriv(x, y, s_scale=0.0, **kw)
+    want = SIE().deriv(x, y, **kw)
+    np.testing.assert_allclose(got[0], want[0], rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(got[1], want[1], rtol=1e-6, atol=1e-7)
+
+
+def test_nie_core_behavior(rng):
+    # a cored profile must be finite with vanishing deflection at the center,
+    # and match SIE far outside the core
+    from gigalens_tpu.profiles.mass.sie import NIE, SIE
+
+    kw = dict(theta_E=1.0, e1=0.1, e2=0.05, center_x=0.0, center_y=0.0)
+    fx0, fy0 = NIE().deriv(jnp.asarray([1e-5]), jnp.asarray([1e-5]), s_scale=0.3, **kw)
+    assert abs(float(fx0[0])) < 1e-3 and abs(float(fy0[0])) < 1e-3
+
+    r = rng.uniform(4.0, 10.0, size=200)
+    th = rng.uniform(0, 2 * np.pi, size=200)
+    x = (r * np.cos(th)).astype(np.float32)
+    y = (r * np.sin(th)).astype(np.float32)
+    got = NIE().deriv(x, y, s_scale=0.05, **kw)
+    want = SIE().deriv(x, y, **kw)
+    # the core deficit falls off as ~s/r: < 1.5% beyond r = 4 at s = 0.05
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(got[1], want[1], rtol=2e-2, atol=2e-3)
+
+
+def test_nie_gradients_finite(rng):
+    from gigalens_tpu.profiles.mass.sie import NIE
+
+    def f(p):
+        fx, fy = NIE().deriv(0.7, -0.4, **p)
+        return fx + fy
+
+    g = jax.grad(f)(dict(theta_E=1.2, e1=0.0, e2=0.0, s_scale=0.2,
+                         center_x=0.0, center_y=0.0))
+    assert all(bool(jnp.isfinite(v)) for v in g.values())
