@@ -271,3 +271,98 @@ class ModellingSequence:
             segment_stages=segment_stages,
             progress=progress,
         )
+
+    def fit(
+        self,
+        n_samples: int = 500,
+        map_steps: int = 350,
+        n_vi: int = 1000,
+        vi_steps: int = 300,
+        n_hmc: int = 50,
+        num_burnin_steps: int = 250,
+        num_results: int = 750,
+        map_lr: float = 1e-2,
+        svi_lr: float = 3e-3,
+        laplace_method: str = "fd",
+        seed: int = 0,
+        checkpoint_dir=None,
+        progress=None,
+    ):
+        """One-call pipeline: MAP -> Laplace init -> SVI -> HMC.
+
+        The sequence every demo/benchmark hand-rolls, with the measured-best
+        recipe baked in (BASELINE.md round 2): multi-start Adam MAP under a
+        polynomial-decay schedule, SVI initialized from the finite-difference
+        Laplace covariance at the best MAP point (which cut the published
+        1500-step budget to ~300 at equal-or-better preconditioner quality),
+        and ChEES-adapted preconditioned HMC started from the surrogate.
+
+        ``checkpoint_dir`` makes the run resumable per phase
+        (:class:`gigalens_tpu.utils.PipelineCheckpointer`) — a preempted
+        TPU job rerun with the same directory skips finished phases.
+        ``progress(phase, step, value)`` receives live per-phase feedback.
+
+        Returns a dict with the per-phase artifacts and wall-clock times:
+        ``z_map, best, q_z, losses, hmc, summary, times``.
+        """
+        import time as _time
+
+        import numpy as np
+
+        ckpt = None
+        if checkpoint_dir is not None:
+            from gigalens_tpu.utils.checkpoint import PipelineCheckpointer
+
+            ckpt = PipelineCheckpointer(checkpoint_dir)
+
+        def _progress(phase):
+            if progress is None:
+                return None
+            return lambda step, value: progress(phase, step, value)
+
+        times = {}
+
+        t0 = _time.time()
+        sched = optax.polynomial_schedule(-map_lr, -map_lr / 3, 0.5, map_steps)
+        opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(sched))
+
+        def _map():
+            z = self.MAP(opt, n_samples=n_samples, num_steps=map_steps,
+                         seed=seed, progress=_progress("map"))
+            return z, None
+
+        z_map, _ = ckpt.run_map(_map) if ckpt else _map()
+        jax.block_until_ready(z_map)
+        best = self.best_map_start(z_map)
+        times["map"] = _time.time() - t0
+
+        t0 = _time.time()
+        sched = optax.polynomial_schedule(
+            -1e-6, -svi_lr, 2, max(vi_steps // 5, 1)
+        )
+        opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(sched))
+
+        def _svi():
+            L0 = self.laplace_scale_tril(best, method=laplace_method)
+            return self.SVI(best, opt, n_vi=n_vi, num_steps=vi_steps,
+                            init_scales=np.asarray(L0), seed=seed + 1,
+                            progress=_progress("svi"))
+
+        q_z, losses = ckpt.run_svi(_svi) if ckpt else _svi()
+        jax.block_until_ready(losses)
+        times["svi"] = _time.time() - t0
+
+        t0 = _time.time()
+
+        def _hmc():
+            return self.HMC(q_z, n_hmc=n_hmc,
+                            num_burnin_steps=num_burnin_steps,
+                            num_results=num_results, seed=seed + 2,
+                            progress=_progress("hmc"))
+
+        res = ckpt.run_hmc(_hmc) if ckpt else _hmc()
+        jax.block_until_ready(res.samples)
+        times["hmc"] = _time.time() - t0
+
+        return dict(z_map=z_map, best=best, q_z=q_z, losses=losses, hmc=res,
+                    summary=self.summarize(res), times=times)

@@ -357,3 +357,29 @@ def test_multi_window_mass_adaptation_moments():
     assert float(np.asarray(res.accept_rate)[-200:].mean()) > 0.5
     np.testing.assert_allclose(np.var(s, 0), np.diag(cov), rtol=0.3)
     np.testing.assert_allclose(s.mean(0), 0.0, atol=0.35)
+
+
+def test_fit_one_call_pipeline(tmp_path, seq):
+    """fit(): full MAP -> Laplace -> SVI -> HMC in one call, resumable."""
+    out = seq.fit(
+        n_samples=8, map_steps=10, n_vi=8, vi_steps=10, n_hmc=4,
+        num_burnin_steps=8, num_results=12, seed=0,
+        checkpoint_dir=str(tmp_path),
+    )
+    assert out["hmc"].samples.shape[0] == 12
+    assert np.isfinite(np.asarray(out["hmc"].samples)).all()
+    assert set(out["times"]) == {"map", "svi", "hmc"}
+    assert "summary" in out
+
+    # resume: all three phases load from disk -> samples identical
+    calls = []
+    out2 = seq.fit(
+        n_samples=8, map_steps=10, n_vi=8, vi_steps=10, n_hmc=4,
+        num_burnin_steps=8, num_results=12, seed=0,
+        checkpoint_dir=str(tmp_path),
+        progress=lambda ph, st, v: calls.append(ph),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["hmc"].samples), np.asarray(out2["hmc"].samples)
+    )
+    assert not calls  # nothing recomputed
