@@ -390,3 +390,70 @@ class SurveySequence:
             )
             for s in range(S)
         ]
+
+    def fit(
+        self,
+        n_starts: int = 32,
+        map_steps: int = 350,
+        n_vi: int = 64,
+        vi_steps: int = 300,
+        n_hmc: int = 16,
+        num_burnin_steps: int = 250,
+        num_results: int = 750,
+        map_lr: float = 1e-2,
+        svi_lr: float = 3e-3,
+        seed: int = 0,
+        progress=None,
+    ):
+        """One-call survey pipeline: MAP -> per-scene Laplace -> SVI -> HMC.
+
+        The survey analogue of :meth:`ModellingSequence.fit` with the same
+        measured-best recipe, run scene-batched: every phase is a single
+        device program over all S scenes, with per-scene surrogates and
+        per-scene HMC adaptation. Returns a dict with ``z_map, best,
+        q_means, q_trils, losses, hmc, summaries`` (one per scene) and
+        ``times``.
+        """
+        import time as _time
+
+        import numpy as np
+
+        def _progress(phase):
+            if progress is None:
+                return None
+            return lambda step, value: progress(phase, step, value)
+
+        times = {}
+
+        t0 = _time.time()
+        sched = optax.polynomial_schedule(-map_lr, -map_lr / 3, 0.5, map_steps)
+        opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(sched))
+        z_map = self.MAP(opt, n_starts=n_starts, num_steps=map_steps,
+                         seed=seed, progress=_progress("map"))
+        jax.block_until_ready(z_map)
+        best = self.best_per_scene(z_map)
+        times["map"] = _time.time() - t0
+
+        t0 = _time.time()
+        L0 = self.laplace_scale_trils(best)
+        sched = optax.polynomial_schedule(-1e-6, -svi_lr, 2, max(vi_steps // 5, 1))
+        opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(sched))
+        q_means, q_trils, losses = self.SVI(
+            best, opt, n_vi=n_vi, num_steps=vi_steps,
+            init_scales=np.asarray(L0), seed=seed + 1,
+            progress=_progress("svi"),
+        )
+        jax.block_until_ready(losses)
+        times["svi"] = _time.time() - t0
+
+        t0 = _time.time()
+        res = self.HMC(q_means, q_trils, n_hmc=n_hmc,
+                       num_burnin_steps=num_burnin_steps,
+                       num_results=num_results, seed=seed + 2,
+                       progress=_progress("hmc"))
+        jax.block_until_ready(res.samples)
+        times["hmc"] = _time.time() - t0
+
+        return dict(z_map=z_map, best=best, q_means=q_means, q_trils=q_trils,
+                    losses=losses, hmc=res, summaries=self.summarize(res),
+                    times=times)

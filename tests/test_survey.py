@@ -515,3 +515,25 @@ def test_grouped_hmc_with_multi_window_warmup():
     s = np.asarray(res.samples)
     np.testing.assert_allclose(s[:, :C].reshape(-1, d).std(0), 0.2, rtol=0.2)
     np.testing.assert_allclose(s[:, C:].reshape(-1, d).std(0), 2.0, rtol=0.2)
+
+
+def test_survey_fit_one_call(survey_setup):
+    """SurveySequence.fit(): whole pipeline in one call, per-scene outputs."""
+    prior, phys, cfg, truths, obs, bkg, exp_t = survey_setup
+    spm = SurveyForwardProbModel(prior, obs, background_rms=bkg, exp_time=exp_t)
+    seq = SurveySequence(phys, spm, cfg)
+    phases = []
+    out = seq.fit(
+        n_starts=8, map_steps=10, n_vi=8, vi_steps=10, n_hmc=8,
+        num_burnin_steps=8, num_results=12, seed=0,
+        progress=lambda ph, st, v: phases.append(ph),
+    )
+    S = 2
+    assert out["best"].shape == (S, prior.d)
+    assert out["q_means"].shape == (S, prior.d)
+    assert out["q_trils"].shape == (S, prior.d, prior.d)
+    assert out["hmc"].samples.shape[0] == 12
+    assert np.isfinite(np.asarray(out["hmc"].samples)).all()
+    assert len(out["summaries"]) == S
+    assert {"map", "svi", "hmc"} <= set(phases)
+    assert set(out["times"]) == {"map", "svi", "hmc"}
