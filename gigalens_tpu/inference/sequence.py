@@ -323,6 +323,10 @@ class ModellingSequence:
         times = {}
 
         t0 = _time.time()
+        # transition_steps == map_steps exactly: optax 0.2.6's
+        # polynomial_schedule with power=0.5 returns NaN for count >
+        # transition_steps under jit ((1 - count/T)^0.5 of a negative
+        # number; the eager path clips) — never run it past its transition
         sched = optax.polynomial_schedule(-map_lr, -map_lr / 3, 0.5, map_steps)
         opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(sched))
 
