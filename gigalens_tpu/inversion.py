@@ -140,6 +140,14 @@ def _pick_chunk(n_side: int, max_cols: int = 256) -> int:
     return best
 
 
+# Per-scan-step byte budget for the placed basis-image block
+# (chunk * n_side, bs, h_ss, w_ss) — the peak live intermediate of the
+# mapping build. 128 MB keeps the block VMEM-spillable on TPU and cache-
+# resident on CPU; measured: a bs-blind chunk at bs=32 cost 6x per-sample
+# over bs=8 under reverse-mode AD (the chunk intermediates outgrew memory).
+_CHUNK_BYTE_BUDGET = 128 * 2**20
+
+
 class PixelatedSourceProbModel(gmodel.VersionedAttrs):
     """Marginal likelihood over nonlinear params with a pixelated source.
 
@@ -195,8 +203,9 @@ class PixelatedSourceProbModel(gmodel.VersionedAttrs):
 
         H_reg, self.logdet_H = gradient_regularizer(self.grid.n_side, reg_ridge)
         self.H_reg = jnp.asarray(H_reg)
-        self.chunk = int(chunk) if chunk else _pick_chunk(self.grid.n_side)
-        if self.grid.n_side % self.chunk:
+        # None = adaptive: chosen per simulator batch size in mapping_matrix
+        self.chunk = int(chunk) if chunk else None
+        if self.chunk and self.grid.n_side % self.chunk:
             raise ValueError(
                 f"chunk={self.chunk} must divide n_side={self.grid.n_side}"
             )
@@ -264,6 +273,11 @@ class PixelatedSourceProbModel(gmodel.VersionedAttrs):
 
         n = g.n_side
         m = self.chunk
+        if m is None:
+            max_cols = max(
+                1, _CHUNK_BYTE_BUDGET // (sim.bs * sim.h_ss * sim.w_ss * 4)
+            )
+            m = _pick_chunk(n, min(256, int(max_cols)))
         n_chunks = n // m
         mask_flat = sim.img_region.reshape(-1)
         # chunk over source rows iy (flat index j = iy * n + ix)

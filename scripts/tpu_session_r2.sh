@@ -27,4 +27,8 @@ run smc_p1000 3600 python scripts/bench_smc.py 1000
 #    prints the ratio)
 run survey_ab 5400 python examples/demo_survey.py --quick --scenes 4 --loop
 
+# 4. pixelated-source inversion: per-eval cost sweep + the two-stage demo
+run inversion_micro 1800 python scripts/bench_inversion.py
+run inversion_demo 3600 python examples/demo_inversion.py
+
 echo "all done; logs in $OUT"

@@ -235,3 +235,37 @@ def test_event_size_and_position_stats_raise():
     assert model.event_size(sim) == sim.n_live_pix
     with pytest.raises(NotImplementedError):
         model.stats_positions(sim, {})
+
+
+def test_sharded_inversion_matches_single_device():
+    """8-device mesh MAP on the inversion model matches 1-device numerics
+    (the mapping-matrix build + Gram + Cholesky all shard over samples)."""
+    import optax
+
+    from gigalens_tpu.inference import ModellingSequence
+    from gigalens_tpu.parallel import default_mesh
+
+    phys, cfg, prior, model, obs, kern, grid = _tiny_setup()
+    start = prior.unconstrain(prior.sample(jax.random.PRNGKey(2), 8))
+    seq_m = ModellingSequence(phys, model, cfg, mesh=default_mesh())
+    z_m = seq_m.MAP(optax.adam(1e-3), start=start, n_samples=8, num_steps=3)
+    seq_s = ModellingSequence(phys, model, cfg,
+                              mesh=default_mesh(jax.devices()[:1]))
+    z_s = seq_s.MAP(optax.adam(1e-3), start=start, n_samples=8, num_steps=3)
+    np.testing.assert_allclose(np.asarray(z_m), np.asarray(z_s), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_hmc_smoke_on_inversion_model():
+    """The HMC driver runs on the marginal posterior (short chain)."""
+    from gigalens_tpu.inference import ModellingSequence
+    from gigalens_tpu.prob.distributions import MultivariateNormalTriL
+
+    phys, cfg, prior, model, obs, kern, grid = _tiny_setup()
+    seq = ModellingSequence(phys, model, cfg)
+    d = prior.d
+    q = MultivariateNormalTriL(jnp.zeros(d), 0.05 * jnp.eye(d))
+    res = seq.HMC(q, n_hmc=8, num_burnin_steps=10, num_results=10,
+                  max_leapfrog_steps=4, seed=0)
+    assert res.samples.shape == (10, 8, d)
+    assert np.all(np.isfinite(np.asarray(res.samples)))
