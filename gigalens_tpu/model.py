@@ -53,6 +53,15 @@ class PhysicalModel(VersionedAttrs):
     Constants are per-profile dicts of parameters excluded from inference
     (reference: ``src/gigalens/model.py:36-44``). Constant leaves are converted
     to ``jnp`` arrays once, here.
+
+    Multi-plane lensing (beyond the single-plane reference): pass
+    ``lens_redshifts`` (one per deflector, ascending) plus ``z_source`` to
+    ray-trace through deflectors at different distances — foreground
+    deflections shift where rays pierce the background planes
+    (``LensSimulator.beta`` runs the recursion; see
+    :func:`gigalens_tpu.cosmology.multiplane_factors` for the convention —
+    profiles keep their ordinary source-plane-reduced parameterization).
+    Deflectors at equal redshift co-add exactly as in single-plane mode.
     """
 
     def __init__(
@@ -63,6 +72,9 @@ class PhysicalModel(VersionedAttrs):
         lenses_constants: Optional[List[Dict]] = None,
         lens_light_constants: Optional[List[Dict]] = None,
         source_light_constants: Optional[List[Dict]] = None,
+        lens_redshifts=None,
+        z_source: Optional[float] = None,
+        cosmology=None,
     ):
         self.lenses = list(lenses)
         self.lens_light = list(lens_light)
@@ -76,6 +88,24 @@ class PhysicalModel(VersionedAttrs):
         self.lenses_constants = _conv(lenses_constants, lenses)
         self.lens_light_constants = _conv(lens_light_constants, lens_light)
         self.source_light_constants = _conv(source_light_constants, source_light)
+
+        if lens_redshifts is not None:
+            from gigalens_tpu.cosmology import multiplane_factors
+
+            if z_source is None:
+                raise ValueError("lens_redshifts requires z_source")
+            if len(lens_redshifts) != len(self.lenses):
+                raise ValueError(
+                    f"need one redshift per deflector: "
+                    f"{len(lens_redshifts)} vs {len(self.lenses)} lenses"
+                )
+            self.mp_factors = multiplane_factors(
+                lens_redshifts, z_source, cosmology
+            ).astype(np.float32)
+            self.lens_redshifts = [float(z) for z in lens_redshifts]
+            self.z_source = float(z_source)
+        else:
+            self.mp_factors = None
 
 
 class ForwardProbModel(VersionedAttrs):

@@ -164,7 +164,8 @@ class LensSimulator(gmodel.VersionedAttrs):
             and not pm.lens_light[0].use_lstsq
         )
         ok = (
-            len(pm.lenses) == 2
+            getattr(pm, "mp_factors", None) is None  # single-plane only
+            and len(pm.lenses) == 2
             and type(pm.lenses[0]) in (EPL, SIE)
             and type(pm.lenses[1]) is Shear
             and ll_ok
@@ -185,22 +186,88 @@ class LensSimulator(gmodel.VersionedAttrs):
     # field quantities (lens_params: list of per-profile dicts, (bs,) leaves)
     # ------------------------------------------------------------------
     def beta(self, x, y, lens_params: List[Dict]):
-        """Ray-shoots image-plane coords to the source plane."""
-        beta_x, beta_y = x, y
-        for lens, p, c in zip(
-            self.phys_model.lenses, lens_params, self.phys_model.lenses_constants
+        """Ray-shoots image-plane coords to the source plane.
+
+        Single-plane: subtract every deflector's reduced deflection at the
+        image-plane coords. Multi-plane (``phys_model.mp_factors`` set): the
+        standard recursion — each deflector is evaluated at the ray's angular
+        position *on its own plane*, displaced by the scaled deflections of
+        all foreground planes (coefficients from
+        :func:`gigalens_tpu.cosmology.multiplane_factors`; equal-redshift
+        deflectors have factor 0 between them and co-add as one plane).
+        """
+        F = getattr(self.phys_model, "mp_factors", None)
+        if F is None:
+            beta_x, beta_y = x, y
+            for lens, p, c in zip(
+                self.phys_model.lenses, lens_params,
+                self.phys_model.lenses_constants,
+            ):
+                fx, fy = lens.deriv(x, y, **_batched(p), **c)
+                beta_x, beta_y = beta_x - fx, beta_y - fy
+            return beta_x, beta_y
+
+        ax, ay = [], []
+        for j, (lens, p, c) in enumerate(
+            zip(self.phys_model.lenses, lens_params,
+                self.phys_model.lenses_constants)
         ):
-            fx, fy = lens.deriv(x, y, **_batched(p), **c)
+            tx, ty = x, y
+            for k in range(j):
+                # baked float constants; F[k, j] == 0 for equal redshifts
+                fkj = float(F[k, j])
+                if fkj != 0.0:
+                    tx = tx - fkj * ax[k]
+                    ty = ty - fkj * ay[k]
+            fx, fy = lens.deriv(tx, ty, **_batched(p), **c)
+            ax.append(fx)
+            ay.append(fy)
+        beta_x, beta_y = x, y
+        for fx, fy in zip(ax, ay):
             beta_x, beta_y = beta_x - fx, beta_y - fy
         return beta_x, beta_y
 
     def hessian(self, x, y, lens_params: List[Dict]):
-        f_xx = f_xy = f_yx = f_yy = jnp.zeros(())
-        for lens, p, c in zip(
-            self.phys_model.lenses, lens_params, self.phys_model.lenses_constants
-        ):
-            a, b, c2, d = lens.hessian(x, y, **_batched(p), **c)
-            f_xx, f_xy, f_yx, f_yy = f_xx + a, f_xy + b, f_yx + c2, f_yy + d
+        """Effective deflection Jacobian entries (f_xx, f_xy, f_yx, f_yy).
+
+        Single-plane: sum of per-profile hessians (symmetric). Multi-plane:
+        the composed Jacobian ``d alpha_eff / d theta`` via reverse-mode AD
+        of :meth:`beta` (works through custom-VJP profiles) — generally
+        asymmetric (``f_xy != f_yx``; the antisymmetric part is the
+        multi-plane rotation), which the downstream ``magnification``
+        determinant handles since it never assumes symmetry.
+        """
+        F = getattr(self.phys_model, "mp_factors", None)
+        if F is None:
+            f_xx = f_xy = f_yx = f_yy = jnp.zeros(())
+            for lens, p, c in zip(
+                self.phys_model.lenses, lens_params,
+                self.phys_model.lenses_constants,
+            ):
+                a, b, c2, d = lens.hessian(x, y, **_batched(p), **c)
+                f_xx, f_xy, f_yx, f_yy = f_xx + a, f_xy + b, f_yx + c2, f_yy + d
+            return f_xx, f_xy, f_yx, f_yy
+
+        # broadcast coords to the output batch shape so the coordinate
+        # Jacobian is elementwise-diagonal and rows are exact per sample
+        bx0, _ = self.beta(x, y, lens_params)
+        xb = jnp.broadcast_to(x, bx0.shape)
+        yb = jnp.broadcast_to(y, bx0.shape)
+
+        def g(xy):
+            bx, by = self.beta(xy[0], xy[1], lens_params)
+            return jnp.stack([bx, by])
+
+        out, vjp_g = jax.vjp(g, jnp.stack([xb, yb]))
+        ones = jnp.ones(out.shape[1:])
+        zeros = jnp.zeros(out.shape[1:])
+        (row_x,) = vjp_g(jnp.stack([ones, zeros]))  # d beta_x / d(x, y)
+        (row_y,) = vjp_g(jnp.stack([zeros, ones]))  # d beta_y / d(x, y)
+        # beta = theta - alpha_eff  =>  J = I - d beta / d theta
+        f_xx = 1.0 - row_x[0]
+        f_xy = -row_x[1]
+        f_yx = -row_y[0]
+        f_yy = 1.0 - row_y[1]
         return f_xx, f_xy, f_yx, f_yy
 
     def magnification(self, x, y, lens_params: List[Dict]):
@@ -340,6 +407,7 @@ class LensSimulator(gmodel.VersionedAttrs):
 
         sub = gmodel.PhysicalModel.__new__(gmodel.PhysicalModel)
         sub.lenses = self.phys_model.lenses
+        sub.mp_factors = getattr(self.phys_model, "mp_factors", None)
         sub.lenses_constants = self.phys_model.lenses_constants
         sub.lens_light = self.phys_model.lens_light if lens_light else []
         sub.lens_light_constants = (
