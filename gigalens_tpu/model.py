@@ -108,8 +108,18 @@ class PhysicalModel(VersionedAttrs):
             self.mp_factors = None
 
 
+# days per (Mpc * arcsec^2): the Fermat-potential -> time-delay conversion
+# Delta_t = _TD_DAYS * D_dt[Mpc] * Delta_tau[arcsec^2]
+_MPC_KM = 3.085677581491367e19
+_ARCSEC_RAD = math.pi / (180.0 * 3600.0)
+_TD_DAYS = _MPC_KM / 299792.458 * _ARCSEC_RAD**2 / 86400.0
+
+
 class ForwardProbModel(VersionedAttrs):
-    """Forward-modeled likelihood over pixels and/or multiple-image positions."""
+    """Forward-modeled likelihood over pixels and/or multiple-image positions,
+    optionally with point-source **time delays** and **image fluxes** (both
+    beyond the reference — the lensed-quasar / time-delay-cosmography data
+    products; see docs/pointsource.md)."""
 
     def __init__(
         self,
@@ -124,6 +134,14 @@ class ForwardProbModel(VersionedAttrs):
         centroids_errors_y=None,
         include_pixels=None,
         include_positions=None,
+        delays=None,
+        delay_errors=None,
+        time_delay_distance=None,
+        z_lens=None,
+        z_source=None,
+        cosmology=None,
+        image_fluxes=None,
+        image_flux_errors=None,
     ):
         self.prior = prior
         # Auto-detect from the provided data unless explicitly toggled.
@@ -133,6 +151,8 @@ class ForwardProbModel(VersionedAttrs):
             include_positions = centroids_x is not None
         self.include_pixels = bool(include_pixels)
         self.include_positions = bool(include_positions)
+        self.include_delays = delays is not None
+        self.include_fluxes = image_fluxes is not None
 
         self.observed_image = None
         self.error_map = None
@@ -162,6 +182,58 @@ class ForwardProbModel(VersionedAttrs):
         else:
             self.n_position = 0
 
+        if self.include_delays or self.include_fluxes:
+            if centroids_x is None or len(centroids_x) != 1:
+                raise ValueError(
+                    "time delays / image fluxes attach to the observed image "
+                    "positions: pass exactly one centroids group"
+                )
+            n_img = int(np.size(np.asarray(centroids_x[0])))
+        if self.include_delays:
+            self.delays = jnp.asarray(delays, jnp.float32).reshape(-1)
+            self.delay_errors = jnp.asarray(
+                delay_errors, jnp.float32
+            ).reshape(-1)
+            if self.delays.shape[0] != n_img - 1:
+                raise ValueError(
+                    f"delays are relative to the first image: expected "
+                    f"{n_img - 1} values for {n_img} images, got "
+                    f"{self.delays.shape[0]}"
+                )
+            # D_dt resolution order: explicit value; (z_lens, z_source) via
+            # the cosmology; else sampled from a cosmo=[dict(D_dt=...)]
+            # prior group at every likelihood call (H0 inference).
+            if time_delay_distance is not None:
+                self.time_delay_distance = float(time_delay_distance)
+            elif z_lens is not None and z_source is not None:
+                from gigalens_tpu.cosmology import FlatLambdaCDM
+
+                cosmo = cosmology if cosmology is not None else FlatLambdaCDM()
+                dl = cosmo.angular_diameter_distance(z_lens)
+                ds = cosmo.angular_diameter_distance(z_source)
+                dls = cosmo.angular_diameter_distance(z_lens, z_source)
+                self.time_delay_distance = (1.0 + z_lens) * dl * ds / dls
+            elif isinstance(prior.tree, dict) and "cosmo" in prior.tree:
+                self.time_delay_distance = None  # sampled
+            else:
+                raise ValueError(
+                    "delays need a time-delay distance: pass "
+                    "time_delay_distance, or (z_lens, z_source), or sample "
+                    "it via a cosmo=[dict(D_dt=...)] prior group"
+                )
+        if self.include_fluxes:
+            self.image_fluxes = jnp.asarray(
+                image_fluxes, jnp.float32
+            ).reshape(-1)
+            self.image_flux_errors = jnp.asarray(
+                image_flux_errors, jnp.float32
+            ).reshape(-1)
+            if self.image_fluxes.shape[0] != n_img:
+                raise ValueError(
+                    f"expected {n_img} image fluxes, got "
+                    f"{self.image_fluxes.shape[0]}"
+                )
+
     # API-compat no-op (the reference pre-tiles centroid arrays per batch size;
     # batch-leading broadcasting makes that unnecessary here).
     def init_centroids(self, bs):
@@ -174,6 +246,10 @@ class ForwardProbModel(VersionedAttrs):
             n += simulator.n_live_pix
         if self.include_positions:
             n += self.n_position
+        if self.include_delays:
+            n += int(self.delays.shape[0])
+        if self.include_fluxes:
+            n += int(self.image_fluxes.shape[0])
         return n
 
     # ------------------------------------------------------------------
@@ -224,6 +300,51 @@ class ForwardProbModel(VersionedAttrs):
         red_chi2 = chi2 / self.n_position
         return log_like, red_chi2
 
+    def stats_time_delays(self, simulator, params):
+        """(log_like, reduced_chi2) of the relative time delays.
+
+        Fermat potentials are evaluated at the observed image positions with
+        the shared source position set to the ray-traced barycentre (the same
+        convention as :meth:`stats_positions`); model delays are relative to
+        the first image. ``D_dt`` is the baked value or, when sampled, read
+        from ``params["cosmo"][0]["D_dt"]`` per sample.
+        """
+        cx, cy = self.centroids_x[0], self.centroids_y[0]
+        lens_params = params["lens_mass"]
+        beta_x, beta_y = simulator.beta(cx, cy, lens_params)  # (bs, n)
+        bxm = jnp.mean(beta_x, axis=-1, keepdims=True)
+        bym = jnp.mean(beta_y, axis=-1, keepdims=True)
+        tau = simulator.fermat_potential(cx, cy, lens_params, bxm, bym)
+        if self.time_delay_distance is not None:
+            d_dt = jnp.float32(self.time_delay_distance)
+        else:
+            d_dt = jnp.reshape(params["cosmo"][0]["D_dt"], (-1, 1))
+        dt_model = _TD_DAYS * d_dt * (tau[..., 1:] - tau[..., :1])
+        resid = (dt_model - self.delays) / self.delay_errors
+        chi2 = jnp.sum(resid**2, axis=-1)
+        norm = jnp.sum(jnp.log(2 * np.pi * self.delay_errors**2))
+        return -0.5 * (chi2 + norm), chi2 / self.delays.shape[0]
+
+    def stats_fluxes(self, simulator, params):
+        """(log_like, reduced_chi2) of the point-source image fluxes.
+
+        Model flux of image i is ``A * |mu(theta_i)|`` with the unlensed
+        source flux ``A`` solved per sample by weighted least squares (a
+        linear amplitude, like the lstsq light profiles) — the likelihood
+        constrains the flux *ratios*, i.e. the magnification ratios.
+        """
+        cx, cy = self.centroids_x[0], self.centroids_y[0]
+        lens_params = params["lens_mass"]
+        mu = jnp.abs(simulator.magnification(cx, cy, lens_params))  # (bs, n)
+        w = 1.0 / self.image_flux_errors**2
+        amp = jnp.sum(w * self.image_fluxes * mu, axis=-1) / jnp.maximum(
+            jnp.sum(w * mu * mu, axis=-1), 1e-20
+        )
+        resid = (amp[..., None] * mu - self.image_fluxes) / self.image_flux_errors
+        chi2 = jnp.sum(resid**2, axis=-1)
+        norm = jnp.sum(jnp.log(2 * np.pi * self.image_flux_errors**2))
+        return -0.5 * (chi2 + norm), chi2 / self.image_fluxes.shape[0]
+
     # ------------------------------------------------------------------
     def log_prob(self, simulator, z):
         """Unconstrained log posterior and reduced chi2; z shaped (bs, d)."""
@@ -237,6 +358,12 @@ class ForwardProbModel(VersionedAttrs):
         if self.include_positions:
             ll, rc = self.stats_positions(simulator, x)
             log_like, red_chi2, n_chi = log_like + ll, red_chi2 + rc, n_chi + 1
+        if self.include_delays:
+            ll, rc = self.stats_time_delays(simulator, x)
+            log_like, red_chi2, n_chi = log_like + ll, red_chi2 + rc, n_chi + 1
+        if self.include_fluxes:
+            ll, rc = self.stats_fluxes(simulator, x)
+            log_like, red_chi2, n_chi = log_like + ll, red_chi2 + rc, n_chi + 1
         red_chi2 = red_chi2 / max(n_chi, 1)
         log_prior = self.prior.log_prob(x) + self.prior.fldj(z)
         return log_like + log_prior, red_chi2
@@ -248,6 +375,10 @@ class ForwardProbModel(VersionedAttrs):
             total = total + self.stats_pixels(simulator, x)[0]
         if self.include_positions:
             total = total + self.stats_positions(simulator, x)[0]
+        if self.include_delays:
+            total = total + self.stats_time_delays(simulator, x)[0]
+        if self.include_fluxes:
+            total = total + self.stats_fluxes(simulator, x)[0]
         return total
 
     def log_prior(self, z):

@@ -91,6 +91,20 @@ class MassProfile(Parameterized, ABC):
         f_xy, f_yy = row_y[0], row_y[1]
         return f_xx, f_xy, f_yx, f_yy
 
+    def potential(self, x, y, **params):
+        """Lensing potential ``psi`` with ``grad(psi) == deriv``.
+
+        Needed only for time delays (Fermat potential); implemented on the
+        profiles with closed forms or exact Euler identities (isothermal and
+        power-law families, shear, point mass, mass sheet). Consistency with
+        ``deriv`` is autodiff-tested for every implementation
+        (tests/test_pointsource.py).
+        """
+        raise NotImplementedError(
+            f"{self.name} does not implement the lensing potential; time "
+            "delays require potential() on every deflector in the model"
+        )
+
     def convergence(self, x, y, **params):
         f_xx, _, _, f_yy = self.hessian(x, y, **params)
         return (f_xx + f_yy) / 2

@@ -213,6 +213,13 @@ class EPL(MassProfile):
         prefac = (2 * b) / (1 + q) * (b / R) ** (t - 1)
         return rotate(prefac * omega_x, prefac * omega_y, -phi)
 
+    def potential(self, x, y, theta_E, gamma, e1, e2, center_x, center_y):
+        """Euler identity for the power-law family: the deflection is
+        homogeneous of degree ``2 - gamma`` in the centered coords, so
+        ``psi = x~ . alpha / (3 - gamma)`` exactly (Tessore & Metcalf 2015)."""
+        fx, fy = self.deriv(x, y, theta_E, gamma, e1, e2, center_x, center_y)
+        return ((x - center_x) * fx + (y - center_y) * fy) / (3.0 - gamma)
+
     def hessian(self, x, y, **params):
         # forward-mode cannot cross _omega_cs's custom_vjp; use the reverse basis
         return self.hessian_vjp(x, y, **params)

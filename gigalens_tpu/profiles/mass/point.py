@@ -35,6 +35,11 @@ class PointMass(MassProfile):
         f_xy = -2.0 * c * dx * dy
         return f_xx, f_xy, f_xy, f_yy
 
+    def potential(self, x, y, theta_E, center_x, center_y):
+        dx, dy = x - center_x, y - center_y
+        r2 = jnp.maximum(dx * dx + dy * dy, 1e-12)
+        return 0.5 * theta_E**2 * jnp.log(r2)
+
 
 class MassSheet(MassProfile):
     """Uniform external convergence: alpha = kappa * (x - c); kappa(x) = kappa.
@@ -55,3 +60,7 @@ class MassSheet(MassProfile):
         k = jnp.broadcast_to(kappa, shape)
         zero = jnp.zeros(shape, k.dtype)
         return k, zero, zero, k
+
+    def potential(self, x, y, kappa, center_x, center_y):
+        dx, dy = x - center_x, y - center_y
+        return 0.5 * kappa * (dx * dx + dy * dy)

@@ -13,6 +13,9 @@ class Shear(MassProfile):
     def deriv(self, x, y, gamma1, gamma2):
         return gamma1 * x + gamma2 * y, gamma2 * x - gamma1 * y
 
+    def potential(self, x, y, gamma1, gamma2):
+        return 0.5 * gamma1 * (x**2 - y**2) + gamma2 * x * y
+
     def hessian(self, x, y, gamma1, gamma2):
         shape = jnp.broadcast_shapes(
             jnp.shape(x), jnp.shape(gamma1), jnp.shape(gamma2)

@@ -45,6 +45,12 @@ class SIE(MassProfile):
             x, y, theta_E, q, phi, self.s_scale, center_x, center_y
         )
 
+    def potential(self, x, y, theta_E, e1, e2, center_x, center_y):
+        """Euler identity: the singular isothermal deflection is homogeneous
+        of degree 0 in the centered coords, so ``psi = x~ . alpha`` exactly."""
+        fx, fy = self.deriv(x, y, theta_E, e1, e2, center_x, center_y)
+        return (x - center_x) * fx + (y - center_y) * fy
+
 
 class NIE(MassProfile):
     """Non-singular isothermal ellipsoid: the SIE with the core radius
@@ -63,6 +69,25 @@ class NIE(MassProfile):
         _, q, phi = ellipticity_to_polar(e1, e2)
         return _kormann_deriv(x, y, theta_E, q, phi, s_scale, center_x, center_y)
 
+    def potential(self, x, y, theta_E, e1, e2, s_scale, center_x, center_y):
+        """Keeton (2001) cored-isothermal potential: the Euler term plus the
+        core correction (which vanishes as ``s_scale -> 0``)."""
+        _, q, phi = ellipticity_to_polar(e1, e2)
+        b = theta_E * jnp.sqrt(2 * q / (1 + q**2)) * jnp.sqrt((1 + q**2) / 2)
+        s = s_scale * jnp.sqrt((1 + q**2) / (2 * q**2))
+        xr, yr = rotate(x - center_x, y - center_y, phi)
+        psi = jnp.sqrt(q**2 * (s**2 + xr**2) + yr**2)
+        root = jnp.sqrt(jnp.maximum(1.0 - q**2, 1e-10))
+        fx = b / root * jnp.arctan(root * xr / (psi + s))
+        fy = b / root * jnp.arctanh(root * yr / (psi + q**2 * s))
+        pot = xr * fx + yr * fy
+        s_safe = jnp.maximum(s, 1e-12)
+        core = b * s * (
+            0.5 * jnp.log((psi + s) ** 2 + (1.0 - q**2) * xr**2)
+            - jnp.log((1.0 + q) * s_safe)
+        )
+        return pot - jnp.where(s > 0, core, 0.0)
+
 
 class SIS(MassProfile):
     _name = "SIS"
@@ -73,6 +98,10 @@ class SIS(MassProfile):
         r = jnp.sqrt(dx**2 + dy**2)
         a = jnp.where(r == 0, 0.0, theta_E / jnp.where(r == 0, 1.0, r))
         return a * dx, a * dy
+
+    def potential(self, x, y, theta_E, center_x, center_y):
+        dx, dy = x - center_x, y - center_y
+        return theta_E * jnp.sqrt(dx**2 + dy**2)
 
     def hessian(self, x, y, theta_E, center_x, center_y):
         dx, dy = x - center_x, y - center_y

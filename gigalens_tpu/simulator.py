@@ -270,6 +270,31 @@ class LensSimulator(gmodel.VersionedAttrs):
         f_yy = 1.0 - row_y[1]
         return f_xx, f_xy, f_yx, f_yy
 
+    def potential(self, x, y, lens_params: List[Dict]):
+        """Total lensing potential (single-plane; profiles must implement
+        ``potential`` — see ``MassProfile.potential``)."""
+        if getattr(self.phys_model, "mp_factors", None) is not None:
+            raise NotImplementedError(
+                "lensing potential / time delays are single-plane only"
+            )
+        psi = jnp.zeros(())
+        for lens, p, c in zip(
+            self.phys_model.lenses, lens_params, self.phys_model.lenses_constants
+        ):
+            psi = psi + lens.potential(x, y, **_batched(p), **c)
+        return psi
+
+    def fermat_potential(self, x, y, lens_params: List[Dict],
+                         beta_x=None, beta_y=None):
+        """Fermat potential ``tau = |theta - beta|^2 / 2 - psi(theta)``
+        [arcsec^2]. With ``beta_*`` omitted each point uses its own
+        ray-traced source position (then ``|theta - beta| = |alpha|``);
+        time-delay likelihoods pass a shared source position."""
+        if beta_x is None or beta_y is None:
+            beta_x, beta_y = self.beta(x, y, lens_params)
+        psi = self.potential(x, y, lens_params)
+        return 0.5 * ((x - beta_x) ** 2 + (y - beta_y) ** 2) - psi
+
     def magnification(self, x, y, lens_params: List[Dict]):
         f_xx, f_xy, f_yx, f_yy = self.hessian(x, y, lens_params)
         det_A = (1 - f_xx) * (1 - f_yy) - f_xy * f_yx
