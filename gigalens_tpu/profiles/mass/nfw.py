@@ -49,6 +49,32 @@ def _nfw_g(x):
     return jnp.where(near, series, jnp.where(x < 1, lo, hi))
 
 
+def _nfw_h(x):
+    """h(x) with dh/dx = g(x)/x; the NFW potential shape (W&B 2000 eq. 9).
+
+    h(1) = ln^2(1/2)/2; the near-branch series integrates the g series
+    term-by-term (coefficients of g(u)/u around u=1, then antiderivative).
+    """
+    x = jnp.maximum(x, _X_MIN)
+    near = jnp.abs(x - 1.0) < _BRANCH_DELTA
+    x_lo = jnp.where(x < 1, x, 0.5)
+    x_hi = jnp.where(x > 1, x, 2.0)
+    lo = 0.5 * jnp.log(x / 2.0) ** 2 - 0.5 * jnp.arccosh(1.0 / x_lo) ** 2
+    hi = 0.5 * jnp.log(x / 2.0) ** 2 + 0.5 * jnp.arccos(1.0 / x_hi) ** 2
+    series = _horner(x - 1.0, _H_SERIES)
+    return jnp.where(near, series, jnp.where(x < 1, lo, hi))
+
+
+# h(1) = ln^2(2)/2, then cumulative integral of the g(u)/u Cauchy product
+_H_SERIES = (
+    0.2402265069591007,
+    0.30685281944005469,
+    0.013240256946639322,
+    -0.019937975181398853,
+    0.012572504860063681,
+)
+
+
 def _nfw_f(x):
     """F(x) = convergence shape function; F(1) = 1/3."""
     x = jnp.maximum(x, _X_MIN)
@@ -90,6 +116,13 @@ class NFW(MassProfile):
         dx, dy = x - center_x, y - center_y
         R = jnp.sqrt(dx**2 + dy**2)
         return self._alpha_radial(R, Rs, rho0, dx, dy)
+
+    def potential(self, x, y, Rs, alpha_Rs, center_x, center_y):
+        rho0 = self._rho0(Rs, alpha_Rs)
+        Rs = jnp.maximum(Rs, _R_MIN)
+        dx, dy = x - center_x, y - center_y
+        R = jnp.maximum(jnp.sqrt(dx**2 + dy**2), _R_MIN)
+        return 4.0 * rho0 * Rs**3 * _nfw_h(R / Rs)
 
     def hessian(self, x, y, Rs, alpha_Rs, center_x, center_y):
         rho0 = self._rho0(Rs, alpha_Rs)

@@ -12,6 +12,7 @@ from gigalens_tpu.model import ForwardProbModel, _TD_DAYS
 from gigalens_tpu.prob import Prior
 from gigalens_tpu.prob import distributions as gld
 from gigalens_tpu.profiles.mass.epl import EPL
+from gigalens_tpu.profiles.mass.nfw import NFW
 from gigalens_tpu.profiles.mass.point import MassSheet, PointMass
 from gigalens_tpu.profiles.mass.shear import Shear
 from gigalens_tpu.profiles.mass.sie import NIE, SIE, SIS
@@ -28,6 +29,7 @@ PROFILE_CASES = [
     (Shear(), dict(gamma1=0.05, gamma2=-0.03)),
     (PointMass(), dict(theta_E=0.7, center_x=0.1, center_y=-0.1)),
     (MassSheet(), dict(kappa=0.08, center_x=0.0, center_y=0.0)),
+    (NFW(), dict(Rs=1.0, alpha_Rs=0.6, center_x=0.0, center_y=0.0)),
 ]
 
 
