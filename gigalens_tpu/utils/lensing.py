@@ -57,25 +57,33 @@ def _default_extent(sim) -> Tuple[float, float, float, float]:
 def _fields(sim, lens_params, x, y):
     """det A, kappa, and the two Jacobian eigenvalue fields, jit-compiled.
 
-    ``sim`` is closed over (its methods are pure; the params/coords are the
-    traced arguments) — an analysis call compiles once per grid shape.
+    The jitted closure is cached on the simulator instance so repeated
+    analysis calls (critical curves + caustics + Einstein radius on the same
+    ``sim``) reuse one compiled program per grid shape instead of re-tracing
+    every call.
     """
+    go = getattr(sim, "_lensing_fields_fn", None)
+    if go is None:
 
-    @jax.jit
-    def go(lens_params, x, y):
-        f_xx, f_xy, f_yx, f_yy = sim.hessian(x, y, lens_params)
-        det_a = (1 - f_xx) * (1 - f_yy) - f_xy * f_yx
-        kappa = 0.5 * (f_xx + f_yy)
-        # shear magnitude from the symmetrized Jacobian (exact for single
-        # plane; for multi-plane the antisymmetric rotation part is excluded,
-        # matching the usual effective-field convention)
-        g1 = 0.5 * (f_xx - f_yy)
-        g2 = 0.5 * (f_xy + f_yx)
-        gamma = jnp.sqrt(g1 * g1 + g2 * g2)
-        lam_t = 1.0 - kappa - gamma
-        lam_r = 1.0 - kappa + gamma
-        return det_a, kappa, lam_t, lam_r
+        @jax.jit
+        def go(lens_params, x, y):
+            f_xx, f_xy, f_yx, f_yy = sim.hessian(x, y, lens_params)
+            det_a = (1 - f_xx) * (1 - f_yy) - f_xy * f_yx
+            kappa = 0.5 * (f_xx + f_yy)
+            # shear magnitude from the symmetrized Jacobian (exact for single
+            # plane; for multi-plane the antisymmetric rotation part is
+            # excluded, matching the usual effective-field convention)
+            g1 = 0.5 * (f_xx - f_yy)
+            g2 = 0.5 * (f_xy + f_yx)
+            gamma = jnp.sqrt(g1 * g1 + g2 * g2)
+            lam_t = 1.0 - kappa - gamma
+            lam_r = 1.0 - kappa + gamma
+            return det_a, kappa, lam_t, lam_r
 
+        try:
+            sim._lensing_fields_fn = go
+        except AttributeError:
+            pass  # frozen/slotted sims just re-trace
     return go(lens_params, x, y)
 
 
@@ -103,10 +111,26 @@ def marching_squares(values: np.ndarray, xs: np.ndarray, ys: np.ndarray,
     """
     v = np.asarray(values, np.float64) - level
     ny, nx = v.shape
-    segments: List[Tuple[Tuple[float, float], Tuple[float, float]]] = []
+    # Nudge grid nodes sitting exactly on the level: a zero corner is neither
+    # strictly inside nor outside, which otherwise produces zero-length
+    # segments and 4-way junctions that break stitching (a circle sampled so
+    # its radius lands on nodes fragments into many polylines).
+    finite = np.isfinite(v)
+    scale = np.max(np.abs(v[finite])) if finite.any() else 1.0
+    if scale == 0.0:
+        return []
+    v = np.where(finite & (v == 0.0), 1e-12 * scale, v)
+
+    # Each contour vertex lies on one global grid edge; keying segments by
+    # that edge identity makes stitching exact — both adjacent cells reference
+    # the same vertex regardless of floating-point interpolation order.
+    # Grid-edge keys: ("h", i, j) joins nodes (i,j)-(i+1,j); ("v", i, j)
+    # joins (i,j)-(i,j+1).
+    verts: Dict[tuple, Tuple[float, float]] = {}
+    segments: List[Tuple[tuple, tuple]] = []
 
     def interp(p0, p1, v0, v1):
-        t = v0 / (v0 - v1) if v0 != v1 else 0.5
+        t = v0 / (v0 - v1)
         return (p0[0] + t * (p1[0] - p0[0]), p0[1] + t * (p1[1] - p0[1]))
 
     for j in range(ny - 1):
@@ -123,12 +147,28 @@ def marching_squares(values: np.ndarray, xs: np.ndarray, ys: np.ndarray,
                 (xs[i + 1], ys[j + 1]),
                 (xs[i], ys[j + 1]),
             ]
-            # edge k connects corner k and corner (k+1)%4
+            # cell edge k connects corner k and corner (k+1)%4; its global
+            # grid-edge identity (shared with the neighboring cell):
+            EDGE_KEYS = (
+                ("h", i, j),
+                ("v", i + 1, j),
+                ("h", i, j + 1),
+                ("v", i, j),
+            )
             E = {}
             for k in range(4):
                 a, b = k, (k + 1) % 4
                 if (c[a] > 0) != (c[b] > 0):
-                    E[k] = interp(P[a], P[b], c[a], c[b])
+                    ek = EDGE_KEYS[k]
+                    if ek not in verts:
+                        # canonical corner order (lower/left node first) so
+                        # both adjacent cells compute the identical point
+                        if k in (0, 2):  # horizontal edges: corner order ok
+                            lo, hi = (a, b) if P[a][0] < P[b][0] else (b, a)
+                        else:  # vertical edges
+                            lo, hi = (a, b) if P[a][1] < P[b][1] else (b, a)
+                        verts[ek] = interp(P[lo], P[hi], c[lo], c[hi])
+                    E[k] = ek
             if idx in (5, 10):
                 # saddle: split by the cell-center sign
                 center_pos = (c[0] + c[1] + c[2] + c[3]) / 4.0 > 0
@@ -140,14 +180,11 @@ def marching_squares(values: np.ndarray, xs: np.ndarray, ys: np.ndarray,
                 ks = sorted(E)
                 segments.append((E[ks[0]], E[ks[1]]))
 
-    # stitch segments into polylines by shared endpoints (rounded key)
-    def key(p):
-        return (round(p[0], 9), round(p[1], 9))
-
+    # stitch segments into polylines by shared grid-edge identity
     ends: Dict[tuple, list] = {}
     for s_i, (a, b) in enumerate(segments):
-        ends.setdefault(key(a), []).append(s_i)
-        ends.setdefault(key(b), []).append(s_i)
+        ends.setdefault(a, []).append(s_i)
+        ends.setdefault(b, []).append(s_i)
 
     used = [False] * len(segments)
     curves = []
@@ -161,18 +198,18 @@ def marching_squares(values: np.ndarray, xs: np.ndarray, ys: np.ndarray,
         for grow_end in (True, False):
             while True:
                 tip = line[-1] if grow_end else line[0]
-                cand = [s for s in ends.get(key(tip), []) if not used[s]]
+                cand = [s for s in ends.get(tip, []) if not used[s]]
                 if not cand:
                     break
                 s = cand[0]
                 used[s] = True
                 p, q = segments[s]
-                nxt = q if key(p) == key(tip) else p
+                nxt = q if p == tip else p
                 if grow_end:
                     line.append(nxt)
                 else:
                     line.insert(0, nxt)
-        curves.append(np.asarray(line, np.float64))
+        curves.append(np.asarray([verts[ek] for ek in line], np.float64))
     return curves
 
 
@@ -227,12 +264,21 @@ def einstein_radius(sim, lens_params, extent=None, n: int = 400) -> float:
         sim, _scalarize(lens_params), jnp.asarray(X.ravel()), jnp.asarray(Y.ravel())
     )
     k = np.asarray(kappa, np.float64)
+    # drop non-finite pixels (e.g. kappa -> inf when the lens center lands
+    # exactly on a grid node) so one singular pixel cannot poison the
+    # centroid or the cumulative mean
+    finite = np.isfinite(k)
+    if not finite.all():
+        k = k[finite]
+        Xf, Yf = X.ravel()[finite], Y.ravel()[finite]
+    else:
+        Xf, Yf = X.ravel(), Y.ravel()
     w = np.clip(k, 0, None)
     if w.sum() <= 0:
         return float("nan")
-    cx = float((w * X.ravel()).sum() / w.sum())
-    cy = float((w * Y.ravel()).sum() / w.sum())
-    r = np.hypot(X.ravel() - cx, Y.ravel() - cy)
+    cx = float((w * Xf).sum() / w.sum())
+    cy = float((w * Yf).sum() / w.sum())
+    r = np.hypot(Xf - cx, Yf - cy)
     order = np.argsort(r)
     mean_k = np.cumsum(k[order]) / np.arange(1, k.size + 1)
     r_sorted = r[order]

@@ -82,3 +82,56 @@ def test_epl_hessian_matches_convergence(rng):
     R = np.sqrt((q * np.asarray(xr)) ** 2 + np.asarray(yr) ** 2)
     want = (2 - t) / 2 * (b / R) ** t
     np.testing.assert_allclose(kappa, want, rtol=1e-3, atol=1e-4)
+
+
+def test_bench_niter_workload_equivalence():
+    """Pin the bench's adaptive EPL depth to the full-depth workload.
+
+    bench.py runs the published scene with ``recommended_niter(q_min=0.43,
+    tol=1e-8)`` instead of the demo's pinned niter=50, on the measured claim
+    (scripts/bench_epl_niter.py) that the truncated series terms fall below
+    float32 epsilon on prior draws — logL and gradients agree to the ulp.
+    This test pins that claim so a future profile/series edit cannot silently
+    turn the bench into a different (cheaper) workload. Reference anchor for
+    adaptive depth: tf/profiles/mass/epl.py:37-54.
+    """
+    from __graft_entry__ import _demo_setup
+    from gigalens_tpu import PhysicalModel
+    from gigalens_tpu.profiles.light.sersic import SersicEllipse
+    from gigalens_tpu.profiles.mass.epl import EPL
+    from gigalens_tpu.profiles.mass.shear import Shear
+    from gigalens_tpu.simulator import LensSimulator
+
+    bs = 8
+    prior, _, cfg, pm, _ = _demo_setup(num_pix=80, bs=bs)
+    z = prior.unconstrain(prior.sample(jax.random.PRNGKey(3), bs))
+
+    niter_bench = EPL.recommended_niter(q_min=0.43, tol=1e-8)
+    assert 18 <= niter_bench <= 30  # the bench's claimed regime
+
+    outs = {}
+    for niter in (niter_bench, 50):
+        phys = PhysicalModel(
+            [EPL(niter), Shear()], [SersicEllipse()], [SersicEllipse()]
+        )
+        sim = LensSimulator(phys, cfg, bs=bs)
+
+        def lp_sum(zz, sim=sim):
+            lp, _ = pm.log_prob(sim, zz)
+            return jnp.sum(lp)
+
+        lp, g = jax.jit(jax.value_and_grad(lp_sum))(z)
+        outs[niter] = (np.asarray(lp), np.asarray(g))
+
+    lp_a, g_a = outs[niter_bench]
+    lp_b, g_b = outs[50]
+    # <= 1 ulp in float32: nextafter-based bound
+    def assert_ulp(a, b, n=1, what=""):
+        a64, b64 = np.float64(a), np.float64(b)
+        tol = n * np.abs(np.nextafter(np.float32(a), np.float32(np.inf))
+                         .astype(np.float64) - a64)
+        bad = np.abs(a64 - b64) > np.maximum(tol, 0)
+        assert not np.any(bad), (what, np.abs(a64 - b64).max())
+
+    assert_ulp(lp_a, lp_b, what="logL")
+    assert_ulp(g_a, g_b, what="grad")

@@ -89,6 +89,9 @@ def test_einstein_radius_nan_when_subcritical():
 
 
 def test_marching_squares_circle():
+    # regression: xs contains exactly +-1.0 and 0, so the unit circle passes
+    # exactly through grid nodes — zero-valued corners used to fragment the
+    # contour into 9 polylines
     xs = np.linspace(-2, 2, 201)
     ys = np.linspace(-2, 2, 201)
     X, Y = np.meshgrid(xs, ys, indexing="xy")
@@ -98,3 +101,41 @@ def test_marching_squares_circle():
     np.testing.assert_allclose(np.hypot(c[:, 0], c[:, 1]), 1.0, atol=1e-3)
     # closed: endpoints coincide
     np.testing.assert_allclose(c[0], c[-1], atol=1e-9)
+
+
+def test_marching_squares_contour_exactly_on_node_row():
+    # the contour is the straight line y=0, lying entirely ON grid nodes
+    xs = np.linspace(-1, 1, 21)
+    ys = np.linspace(-1, 1, 21)
+    _, Y = np.meshgrid(xs, ys, indexing="xy")
+    curves = lensing.marching_squares(Y.copy(), xs, ys)
+    assert len(curves) == 1
+    c = curves[0]
+    np.testing.assert_allclose(c[:, 1], 0.0, atol=1e-10)
+    assert c[:, 0].min() == pytest.approx(-1.0, abs=0.11)
+    assert c[:, 0].max() == pytest.approx(1.0, abs=0.11)
+
+
+def test_marching_squares_constant_field_no_contours():
+    xs = np.linspace(-1, 1, 11)
+    assert lensing.marching_squares(np.zeros((11, 11)), xs, xs) == []
+
+
+def test_einstein_radius_center_on_grid_node():
+    # lens center exactly on a node -> kappa=inf at one pixel; previously the
+    # cumulative mean went inf everywhere and returned a spurious NaN. n odd
+    # and even extent put (0, 0) exactly on the grid.
+    sim = _sim(SIS())
+    est = lensing.einstein_radius(
+        sim, [dict(theta_E=1.0, center_x=0.0, center_y=0.0)], n=501
+    )
+    np.testing.assert_allclose(est, 1.0, rtol=0.02)
+
+
+def test_fields_jit_cached_per_sim():
+    sim = _sim(SIS())
+    x = np.linspace(-2, 2, 16, dtype=np.float32)
+    lensing.jacobian_eigenvalues(sim, SIS_PARAMS, x, x)
+    fn = sim._lensing_fields_fn
+    lensing.jacobian_eigenvalues(sim, SIS_PARAMS, x, x)
+    assert sim._lensing_fields_fn is fn
