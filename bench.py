@@ -210,15 +210,17 @@ def main():
         ess = np.asarray(effective_sample_size(res.samples))
         rhat = np.asarray(potential_scale_reduction(res.samples))
         accept = float(np.asarray(res.accept_rate)[-100:].mean())
+        nlf = int(res.total_leapfrogs)
         seed_rows.append(dict(
             seed=hmc_seed, t=t_hmc, min_ess=float(ess.min()),
             ess_per_sec=float(ess.min()) / t_hmc, max_rhat=float(rhat.max()),
-            accept=accept, eps=float(res.step_size),
+            accept=accept, eps=float(res.step_size), leapfrogs=nlf,
         ))
         log(
             f"HMC seed {hmc_seed}: {t_hmc:.1f}s accept {accept:.2f} "
             f"eps {float(res.step_size):.4f} min ESS {ess.min():.0f} "
-            f"max rhat {rhat.max():.3f}"
+            f"max rhat {rhat.max():.3f} leapfrogs {nlf} "
+            f"({t_hmc / max(nlf, 1) * 1e3:.2f} ms/lf)"
         )
 
     t_hmc = float(np.median([r["t"] for r in seed_rows]))

@@ -64,6 +64,10 @@ class HMCResult(NamedTuple):
     # divergence counting). A nonzero rate flags chains stuck in
     # high-curvature regions whose samples are untrustworthy.
     divergences: jnp.ndarray = jnp.zeros((), jnp.int32)
+    # total leapfrog steps integrated over the whole run (sum over chain
+    # steps of the per-step trajectory length, max across groups) — the
+    # per-gradient cost divisor for wall-clock accounting
+    total_leapfrogs: jnp.ndarray = jnp.zeros((), jnp.int32)
 
 
 def _da_init(eps0, t_start=0):
@@ -206,7 +210,7 @@ def _hmc_programs(
         )
 
     def step(carry, inp):
-        z, lp, grad, da, ch, t, tril, s1, s2, cnt, z_ref, div = carry
+        z, lp, grad, da, ch, t, tril, s1, s2, cnt, z_ref, div, nlf = carry
         key, h = inp
         k_mom, k_acc = jax.random.split(key)
 
@@ -337,8 +341,9 @@ def _hmc_programs(
                 is_switch, _switch, lambda args: args,
                 (tril, da, ch, s1, s2, cnt, z_ref),
             )
+        nlf = nlf + jnp.max(jnp.asarray(n_steps)).astype(jnp.int32)
         return (
-            (z, lp, grad, da, ch, t + 1, tril, s1, s2, cnt, z_ref, div),
+            (z, lp, grad, da, ch, t + 1, tril, s1, s2, cnt, z_ref, div, nlf),
             (z, jnp.mean(accept_prob_c)),
         )
 
@@ -354,7 +359,7 @@ def _hmc_programs(
         return (z0, lp0, grad0, da0, ch0, jnp.asarray(0),
                 tril0, jnp.zeros((G, d)), jnp.zeros((G, d, d)),
                 jnp.zeros((G,)), jnp.mean(grp(z0), axis=1),
-                jnp.zeros((n_chains,), jnp.int32))
+                jnp.zeros((n_chains,), jnp.int32), jnp.zeros((), jnp.int32))
 
     @jax.jit
     def run_segment(carry, keys, hs):
@@ -474,14 +479,14 @@ def sample_hmc(
         if progress is not None:
             jax.block_until_ready(acc)
             progress(hi, float(jnp.mean(acc)))
-    zf, _, _, da, ch, _, _, _, _, _, _, div = carry
+    zf, _, _, da, ch, _, _, _, _, _, _, div, nlf = carry
     zs = jnp.concatenate(zs_parts)
     acc = jnp.concatenate(acc_parts)
     final_eps = jnp.exp(da.log_eps_bar)
     final_t = jnp.exp(ch.log_t) if chees else num_leapfrog_steps * final_eps
     if n_groups == 1:  # preserve the scalar API of the single-fit path
         final_eps, final_t = final_eps[0], final_t[0]
-    return HMCResult(zs[num_burnin_steps:], acc, final_eps, zf, final_t, div)
+    return HMCResult(zs[num_burnin_steps:], acc, final_eps, zf, final_t, div, nlf)
 
 
 @functools.lru_cache(maxsize=8)

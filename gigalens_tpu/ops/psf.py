@@ -129,12 +129,21 @@ class PSFConv:
     transform precomputed at construction. mode="direct": XLA convolution.
     Both produce 'SAME'-size output with true convolution orientation
     (kernel flipped), matching the reference's ``lax.conv`` usage.
+
+    A stacked ``(S, kh, kw)`` kernel enables **per-scene convolution** for
+    survey/catalogue batches: ``__call__`` then interprets its batch axis as
+    scene-major ``(S * K, H, W)`` and convolves each scene's ``K`` samples
+    with that scene's kernel (fft and dft modes; real survey cutouts have
+    per-scene PSFs — the reference has no counterpart). Only the spectrum
+    product is per-scene; the DFT factor matrices are shared, so the extra
+    cost is one (S, fh, fw) constant.
     """
 
     def __init__(self, kernel: np.ndarray, img_shape, mode: str = "fft",
                  pool: int = 1, pallas=None):
         self.kernel = np.asarray(kernel, np.float32)
-        self.kh, self.kw = self.kernel.shape
+        self.n_scenes = self.kernel.shape[0] if self.kernel.ndim == 3 else None
+        self.kh, self.kw = self.kernel.shape[-2:]
         self.h, self.w = int(img_shape[0]), int(img_shape[1])
         # "dft_hi" = the dft matmul path with Precision.HIGHEST einsums: XLA's
         # single-pass TPU matmul truncates f32 inputs to bf16 (~0.3 nats of
@@ -166,11 +175,14 @@ class PSFConv:
             fh = _good_fft_size(self.h + self.kh - 1)
             fw = _good_fft_size(self.w + self.kw - 1)
             self.fshape = (fh, fw)
-            kpad = np.zeros((fh, fw), np.float32)
-            kpad[: self.kh, : self.kw] = self.kernel
+            kstack = self.kernel[None] if self.n_scenes is None else self.kernel
+            kpad = np.zeros((kstack.shape[0], fh, fw), np.float32)
+            kpad[:, : self.kh, : self.kw] = kstack
             kfft = np.fft.fft2(kpad.astype(np.float64))
             self._k_re = kfft.real.astype(np.float32)
             self._k_im = kfft.imag.astype(np.float32)
+            if self.n_scenes is None:
+                self._k_re, self._k_im = self._k_re[0], self._k_im[0]
 
             def dft(n):
                 w = np.exp(-2j * np.pi * np.outer(np.arange(n), np.arange(n)) / n)
@@ -214,6 +226,11 @@ class PSFConv:
                     jax.default_backend() == "tpu"
                     and os.environ.get("GIGALENS_PALLAS_CONV", "1") == "1"
                 )
+            if self.n_scenes is not None:
+                # per-scene spectra: XLA dft path (the Pallas kernel takes a
+                # single spectrum constant; extend with a scene-indexed
+                # operand if survey fast-path profiling demands it)
+                pallas = False
             if pallas:
                 from gigalens_tpu.ops.pallas.dft_conv import PallasDFTConv
 
@@ -228,12 +245,15 @@ class PSFConv:
             fh = _good_fft_size(self.h + self.kh - 1)
             fw = _good_fft_size(self.w + self.kw - 1)
             self.fshape = (fh, fw)
-            kpad = np.zeros((fh, fw), np.float32)
-            kpad[: self.kh, : self.kw] = self.kernel
+            kstack = self.kernel[None] if self.n_scenes is None else self.kernel
+            kpad = np.zeros((kstack.shape[0], fh, fw), np.float32)
+            kpad[:, : self.kh, : self.kw] = kstack
             # Stored as real/imag numpy pairs and recombined in-graph: the
             # axon TPU backend cannot transfer complex64 host<->device, so a
             # complex closure constant would fail at jit lowering.
             kfft = np.fft.rfft2(kpad.astype(np.float64)).astype(np.complex64)
+            if self.n_scenes is None:
+                kfft = kfft[0]
             self._kfft_re = np.ascontiguousarray(kfft.real)
             self._kfft_im = np.ascontiguousarray(kfft.imag)
             # 'SAME' crop offsets matching XLA's flipped-kernel convolution
@@ -241,6 +261,11 @@ class PSFConv:
             self._oy = self.kh // 2
             self._ox = self.kw // 2
         else:
+            if self.n_scenes is not None:
+                raise NotImplementedError(
+                    "per-scene PSF kernels support mode='fft' or 'dft'; "
+                    "use one of those for survey batches"
+                )
             # OIHW kernel, flipped for true convolution
             self._k = jnp.asarray(self.kernel[::-1, ::-1][None, None])
 
@@ -249,11 +274,14 @@ class PSFConv:
     # below the cliff.
     MAX_FFT_BATCH = 512
 
-    def _fft_conv(self, x):
+    def _fft_conv(self, x, k_re=None, k_im=None):
+        """x: (..., H, W); spectrum (broadcastable to the rfft2 of x)."""
+        if k_re is None:
+            k_re, k_im = self._kfft_re, self._kfft_im
         xf = jnp.fft.rfft2(x, s=self.fshape)
-        kfft = lax.complex(jnp.asarray(self._kfft_re), jnp.asarray(self._kfft_im))
+        kfft = lax.complex(jnp.asarray(k_re), jnp.asarray(k_im))
         out = jnp.fft.irfft2(xf * kfft, s=self.fshape)
-        return out[:, self._oy : self._oy + self.h, self._ox : self._ox + self.w]
+        return out[..., self._oy : self._oy + self.h, self._ox : self._ox + self.w]
 
     def _dft_conv(self, x):
         """Linear convolution via dense DFT matmuls (all-real arithmetic).
@@ -271,26 +299,64 @@ class PSFConv:
         # cols: Z = Y @ F_w[:, :W]^T -> (n, fh, fw)
         zr = ein("nik,jk->nij", yr, self._fw_re) - ein("nik,jk->nij", yi, self._fw_im)
         zi = ein("nik,jk->nij", yr, self._fw_im) + ein("nik,jk->nij", yi, self._fw_re)
-        # spectrum product
-        pr = zr * self._k_re - zi * self._k_im
-        pi = zr * self._k_im + zi * self._k_re
+        # spectrum product (per-scene when the kernel carries a scene axis)
+        if self.n_scenes is not None:
+            S = self.n_scenes
+            z4 = zr.reshape(S, -1, *zr.shape[1:])
+            w4 = zi.reshape(S, -1, *zi.shape[1:])
+            kr, ki = self._k_re[:, None], self._k_im[:, None]
+            pr = (z4 * kr - w4 * ki).reshape(zr.shape)
+            pi = (z4 * ki + w4 * kr).reshape(zr.shape)
+        else:
+            pr = zr * self._k_re - zi * self._k_im
+            pi = zr * self._k_im + zi * self._k_re
         # inverse rows (crop/pool folded) -> (n, out_h, fw)
         ur = ein("ij,njk->nik", self._ih_re, pr) - ein("ij,njk->nik", self._ih_im, pi)
         ui = ein("ij,njk->nik", self._ih_re, pi) + ein("ij,njk->nik", self._ih_im, pr)
         # inverse cols (crop/pool folded), real part only -> (n, out_h, out_w)
         return ein("nik,jk->nij", ur, self._iw_re) - ein("nik,jk->nij", ui, self._iw_im)
 
+    def _check_scene_batch(self, n):
+        if n % self.n_scenes:
+            raise ValueError(
+                f"per-scene PSF: batch {n} is not a multiple of "
+                f"n_scenes={self.n_scenes} (samples must be scene-major)"
+            )
+        return n // self.n_scenes
+
     def __call__(self, img):
-        """img: (..., H, W) -> convolved (..., H, W)."""
+        """img: (..., H, W) -> convolved (..., H, W).
+
+        With a per-scene kernel the flattened batch must be scene-major
+        ``S * K`` (all of scene 0's samples, then scene 1's, ...).
+        """
         if self.mode == "dft":
             batch_shape = img.shape[:-2]
             x = img.reshape((-1, self.h, self.w))
+            if self.n_scenes is not None:
+                self._check_scene_batch(x.shape[0])
             conv = self._pallas if self._pallas is not None else self._dft_conv
             return conv(x).reshape((*batch_shape, self.out_h, self.out_w))
         if self.mode == "fft":
             batch_shape = img.shape[:-2]
             x = img.reshape((-1, self.h, self.w))
             n = x.shape[0]
+            if self.n_scenes is not None:
+                # static per-scene slices on the flat batch (a (S, K, fh, fw)
+                # reshape feeds XLA's fft thunk a non-dim0-major layout under
+                # mesh sharding — RET_CHECK on CPU)
+                S = self.n_scenes
+                K = self._check_scene_batch(n)
+                outs = []
+                for s in range(S):
+                    xs = x[s * K : (s + 1) * K]
+                    kr, ki = self._kfft_re[s], self._kfft_im[s]
+                    outs.extend(
+                        self._fft_conv(xs[i : i + self.MAX_FFT_BATCH], kr, ki)
+                        for i in range(0, K, self.MAX_FFT_BATCH)
+                    )
+                out = jnp.concatenate(outs)
+                return out.reshape((*batch_shape, self.h, self.w))
             if n <= self.MAX_FFT_BATCH:
                 out = self._fft_conv(x)
             else:

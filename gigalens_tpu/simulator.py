@@ -105,12 +105,23 @@ class LensSimulator(gmodel.VersionedAttrs):
         # ---- PSF ----------------------------------------------------------
         self._conv = None
         if sim_config.kernel is not None:
-            kern = subgrid_kernel(np.asarray(sim_config.kernel), ss, odd=True)
+            kernel = np.asarray(sim_config.kernel)
+            if kernel.ndim == 3:
+                # per-scene PSF stack (survey mode): supersample each scene's
+                # kernel; PSFConv broadcasts the scene axis over scene-major
+                # sample batches
+                kern = np.stack(
+                    [subgrid_kernel(k, ss, odd=True) for k in kernel]
+                )
+            else:
+                kern = subgrid_kernel(kernel, ss, odd=True)
             mode = sim_config.psf_mode
             if mode is None and sim_config.use_fft is not None:
                 mode = "fft" if sim_config.use_fft else "direct"
+            if mode == "direct" and kern.ndim == 3:
+                mode = "fft"  # per-scene kernels: no direct path
             if mode is None:
-                if kern.shape[0] * kern.shape[1] <= 81:
+                if kern.ndim == 2 and kern.shape[0] * kern.shape[1] <= 81:
                     mode = "direct"  # tiny kernels: plain conv wins
                 else:
                     import jax

@@ -537,3 +537,99 @@ def test_survey_fit_one_call(survey_setup):
     assert len(out["summaries"]) == S
     assert {"map", "svi", "hmc"} <= set(phases)
     assert set(out["times"]) == {"map", "svi", "hmc"}
+
+
+def _gauss_kernel(size, sigma):
+    g = np.exp(
+        -((np.arange(size) - size // 2) ** 2
+          + (np.arange(size)[:, None] - size // 2) ** 2) / (2 * sigma**2)
+    )
+    return (g / g.sum()).astype(np.float32)
+
+
+@pytest.mark.parametrize("mode,pool", [("fft", 1), ("dft", 1), ("dft", 2)])
+def test_per_scene_psf_conv_matches_single(mode, pool):
+    """PSFConv with a stacked (S, kh, kw) kernel convolves each scene-major
+    block with its own kernel, identically to S single-kernel convs."""
+    from gigalens_tpu.ops.psf import PSFConv
+
+    H = W = 24
+    kernels = np.stack([_gauss_kernel(7, 1.0), _gauss_kernel(7, 2.5)])
+    rng = np.random.default_rng(3)
+    K = 5
+    x = jnp.asarray(rng.normal(size=(2 * K, H, W)).astype(np.float32))
+
+    conv_s = PSFConv(kernels, (H, W), mode=mode, pool=pool, pallas=False)
+    out = np.asarray(jax.jit(conv_s)(x))
+    for s in range(2):
+        conv1 = PSFConv(kernels[s], (H, W), mode=mode, pool=pool, pallas=False)
+        ref = np.asarray(jax.jit(conv1)(x[s * K : (s + 1) * K]))
+        np.testing.assert_allclose(out[s * K : (s + 1) * K], ref,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_per_scene_psf_batch_validation():
+    from gigalens_tpu.ops.psf import PSFConv
+
+    kernels = np.stack([_gauss_kernel(5, 1.0), _gauss_kernel(5, 2.0)])
+    conv = PSFConv(kernels, (16, 16), mode="fft")
+    with pytest.raises(ValueError, match="scene-major"):
+        conv(jnp.zeros((3, 16, 16)))  # 3 not a multiple of S=2
+    with pytest.raises(NotImplementedError):
+        PSFConv(kernels, (16, 16), mode="direct")
+
+
+def test_simulator_per_scene_psf_matches_single(survey_setup):
+    """LensSimulator with a (S, kh, kw) kernel == per-scene simulators with
+    their own kernels (supersampled subgrid path included)."""
+    prior, phys, cfg, truths, obs, bkg, exp_t = survey_setup
+    import dataclasses
+
+    kernels = np.stack([_gauss_kernel(9, 1.2), _gauss_kernel(9, 3.0)])
+    cfg_s = dataclasses.replace(cfg, kernel=kernels, supersample=2,
+                                psf_mode="fft")
+    K = 3
+    params = prior.sample(jax.random.PRNGKey(5), 2 * K)
+    sim = LensSimulator(phys, cfg_s, bs=2 * K)
+    out = np.asarray(jax.jit(sim.simulate)(params))
+
+    for s in range(2):
+        cfg1 = dataclasses.replace(cfg, kernel=kernels[s], supersample=2,
+                                   psf_mode="fft")
+        sim1 = LensSimulator(phys, cfg1, bs=K)
+        block = jax.tree_util.tree_map(
+            lambda a: a[s * K : (s + 1) * K], params
+        )
+        ref = np.asarray(jax.jit(sim1.simulate)(block))
+        np.testing.assert_allclose(out[s * K : (s + 1) * K], ref,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_survey_fit_per_scene_psf_recovers_truths(survey_setup):
+    """Two scenes observed through very different PSFs: the survey MAP with
+    the per-scene kernel stack recovers each scene's truth (chi2 ~ 1 against
+    that scene's data), which a shared-kernel fit cannot."""
+    prior, phys, cfg, truths, _, bkg, exp_t = survey_setup
+    import dataclasses
+
+    kernels = np.stack([_gauss_kernel(9, 0.8), _gauss_kernel(9, 2.5)])
+    cfg_s = dataclasses.replace(cfg, kernel=kernels, psf_mode="fft")
+    sim2 = LensSimulator(phys, cfg_s, bs=2)
+    imgs = np.asarray(jax.jit(sim2.simulate)(truths))
+    rng = np.random.default_rng(11)
+    obs = imgs + rng.normal(size=imgs.shape).astype(np.float32) * np.sqrt(
+        bkg**2 + np.clip(imgs, 0, None) / exp_t
+    )
+
+    spm = SurveyForwardProbModel(prior, obs, background_rms=bkg, exp_time=exp_t)
+    seq = SurveySequence(phys, spm, cfg_s)
+    sched = optax.polynomial_schedule(-5e-3, -1e-3, 1.0, 200)
+    opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(sched))
+    z = seq.MAP(opt, n_starts=16, num_steps=200, seed=0)
+    best = seq.best_per_scene(z)
+    _, chi2 = jax.jit(lambda z: spm.log_prob(sim2, z))(
+        prior.unconstrain(prior.constrain(prior.unconstrain(
+            prior.sample(jax.random.PRNGKey(0), 2)))) * 0 + best
+    )
+    chi2 = np.asarray(chi2)
+    assert (chi2 < 1.5).all(), chi2
