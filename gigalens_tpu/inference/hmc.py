@@ -122,6 +122,7 @@ def _hmc_programs(
     chees_lr,
     mesh,
     n_groups=1,
+    aot_desc=None,
 ):
     """Build (init_carry, run_segment) jitted programs for one HMC config.
 
@@ -347,7 +348,6 @@ def _hmc_programs(
             (z, jnp.mean(accept_prob_c)),
         )
 
-    @jax.jit
     def init_carry(z0, tril0):
         lp0, grad0 = lp_and_grad(z0)
         da0 = _da_init(jnp.full((G,), step_size, z0.dtype))
@@ -361,11 +361,28 @@ def _hmc_programs(
                 jnp.zeros((G,)), jnp.mean(grp(z0), axis=1),
                 jnp.zeros((n_chains,), jnp.int32), jnp.zeros((), jnp.int32))
 
-    @jax.jit
     def run_segment(carry, keys, hs):
         return jax.lax.scan(step, carry, (keys, hs))
 
-    return init_carry, run_segment
+    if aot_desc is not None:
+        # cross-process program reuse: the whole chain program (and its init)
+        # is serialized via jax.export, skipping trace+lowering on reruns —
+        # see gigalens_tpu/utils/aot.py for the invalidation contract
+        from gigalens_tpu.utils import aot
+
+        static = "|".join(
+            str(x) for x in (
+                aot_desc, n_chains, d, step_size, num_leapfrog_steps,
+                num_adaptation_steps, switch_ts, do_mass, chees,
+                target_accept, accept_reduction, max_leapfrog_steps,
+                chees_lr, n_groups,
+            )
+        )
+        return (
+            aot.aot_jit("hmc_init", init_carry, static_desc=static),
+            aot.aot_jit("hmc_seg", run_segment, static_desc=static),
+        )
+    return jax.jit(init_carry), jax.jit(run_segment)
 
 
 def sample_hmc(
@@ -390,6 +407,7 @@ def sample_hmc(
     segment_steps: int = 0,
     progress=None,
     n_groups: int = 1,
+    aot_desc: Optional[str] = None,
 ):
     """Batched preconditioned HMC. ``z0``: (n_chains, d); ``log_prob_fn``
     maps (n_chains, d) -> (n_chains,).
@@ -464,6 +482,7 @@ def sample_hmc(
         log_prob_fn, n_chains, d, float(step_size), num_leapfrog_steps,
         num_adaptation_steps, switch_ts, do_mass, chees, target_accept,
         accept_reduction, max_leapfrog_steps, chees_lr, mesh, n_groups,
+        aot_desc,
     )
 
     halton = jnp.asarray(_halton(total_steps)) if chees else jnp.ones(total_steps)
@@ -512,6 +531,15 @@ def _cached_log_prob_fn(prob_model, simulator):
         prob_model, getattr(prob_model, "_version", 0),
         simulator, getattr(simulator, "_version", 0),
     )
+
+
+def _aot_desc(prob_model, simulator, mesh=None):
+    """Data fingerprint enabling cross-process AOT program reuse, or None.
+
+    See :func:`gigalens_tpu.utils.aot.phase_desc` for the gating contract."""
+    from gigalens_tpu.utils import aot
+
+    return aot.phase_desc(prob_model, simulator, mesh=mesh)
 
 
 def clear_program_caches():
@@ -570,6 +598,7 @@ def fit_hmc(
         _cached_log_prob_fn(prob_model, simulator),
         z0,
         k_chain,
+        aot_desc=_aot_desc(prob_model, simulator, mesh),
         step_size=init_eps,
         num_leapfrog_steps=init_l,
         num_burnin_steps=num_burnin_steps,

@@ -75,12 +75,23 @@ def fit_map(
 
     n_seg = segment_steps if segment_steps > 0 else num_steps
 
+    # cross-process AOT reuse of the phase program (utils/aot.py): the
+    # fingerprint covers everything `step` closes over — observed data +
+    # priors (prob_model), grids/PSF factors (simulator), and the optimizer's
+    # schedule constants (closure-cell hashing)
+    from gigalens_tpu.utils import aot
+
+    desc = aot.phase_desc(prob_model, simulator, optimizer, mesh=mesh,
+                          extra=event_size)
+
     def make_runner(length):
-        @jax.jit
         def run_segment(carry):
             return jax.lax.scan(step, carry, None, length=length)
 
-        return run_segment
+        if desc is not None:
+            return aot.aot_jit("map_seg", run_segment,
+                               static_desc=f"{desc}|{length}")
+        return jax.jit(run_segment)
 
     run_full = make_runner(n_seg)
 

@@ -20,7 +20,8 @@ from gigalens_tpu.prob.distributions import MultivariateNormalTriL
 
 
 def _run_adam_scan(loss_and_grad, params0, optimizer, num_steps, seed,
-                   segment_steps, polyak_fraction, progress, progress_value):
+                   segment_steps, polyak_fraction, progress, progress_value,
+                   aot_desc=None):
     """Segmented device-resident Adam scan with Polyak tail averaging —
     the driver loop shared by :func:`fit_svi` and :func:`fit_svi_survey`.
 
@@ -44,12 +45,18 @@ def _run_adam_scan(loss_and_grad, params0, optimizer, num_steps, seed,
     n_seg = segment_steps if segment_steps > 0 else num_steps
 
     def make_runner(length):
-        @jax.jit
         def run_segment(carry, key):
             keys = jax.random.split(key, length)
             return jax.lax.scan(step, carry, keys)
 
-        return run_segment
+        if aot_desc is not None:
+            from gigalens_tpu.utils import aot
+
+            return aot.aot_jit(
+                "svi_seg", run_segment,
+                static_desc=f"{aot_desc}|{length}|{avg_start}",
+            )
+        return jax.jit(run_segment)
 
     run_full = make_runner(n_seg)
     carry = (params0, jax.jit(optimizer.init)(params0),
@@ -187,10 +194,14 @@ def fit_svi(
         lp_model, _ = prob_model.log_prob(simulator, z)
         return jnp.mean(lp_q - lp_model)
 
+    from gigalens_tpu.utils import aot
+
     qz_params, losses = _run_adam_scan(
         jax.value_and_grad(elbo_loss), qz_params, optimizer, num_steps, seed,
         segment_steps, polyak_fraction, progress,
         progress_value=lambda seg: float(seg[-1]),
+        aot_desc=aot.phase_desc(prob_model, simulator, optimizer, mesh=mesh,
+                                extra=f"{n_vi}|{full_rank}"),
     )
     mean, tril = jax.jit(unpack)(qz_params)
     return MultivariateNormalTriL(mean, tril), losses
@@ -390,11 +401,15 @@ def fit_svi_survey(
         (_, per_scene), grads = grad_fn(params, key)
         return per_scene, grads
 
+    from gigalens_tpu.utils import aot
+
     qz_params, losses = _run_adam_scan(
         loss_and_grad, qz_params, optimizer, num_steps, seed, segment_steps,
         polyak_fraction, progress,
         # worst scene's current loss — a stalled scene stays visible
         progress_value=lambda seg: float(jnp.max(seg[-1])),
+        aot_desc=aot.phase_desc(prob_model, simulator, optimizer, mesh=mesh,
+                                extra=f"{S}|{n_vi}|{full_rank}"),
     )
     mean, tril = jax.jit(unpack)(qz_params)
     return mean, tril, losses

@@ -1,0 +1,172 @@
+"""AOT export-cache tests (gigalens_tpu/utils/aot.py).
+
+The cache's correctness contract is "a stale artifact is silently WRONG,
+not slow", so these tests pin the two load-bearing properties: (1) the
+data fingerprint distinguishes everything a phase program bakes in
+(arrays, optimizer schedule constants hidden in closure cells), and
+(2) a deserialized artifact reproduces the plain-jit results bitwise.
+"""
+import numpy as np
+import optax
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gigalens_tpu.utils import aot
+
+
+def _mk_opt(lr, steps):
+    sched = optax.polynomial_schedule(-lr, -lr / 3, 0.5, steps)
+    return optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(sched))
+
+
+def test_fingerprint_sees_schedule_constants():
+    # two optimizers built from identical code but different hyperparameters
+    # MUST fingerprint differently: the constants live in closure cells, not
+    # in package source
+    a = aot.data_fingerprint(_mk_opt(1e-2, 100))
+    b = aot.data_fingerprint(_mk_opt(3e-3, 100))
+    c = aot.data_fingerprint(_mk_opt(1e-2, 200))
+    a2 = aot.data_fingerprint(_mk_opt(1e-2, 100))
+    assert a == a2
+    assert a != b and a != c
+
+
+def test_fingerprint_sees_array_content():
+    x = np.arange(6, dtype=np.float32).reshape(2, 3)
+    y = x.copy()
+    y[1, 2] += 1e-6
+    assert aot.data_fingerprint(x) == aot.data_fingerprint(x.copy())
+    assert aot.data_fingerprint(x) != aot.data_fingerprint(y)
+    assert aot.data_fingerprint(x) != aot.data_fingerprint(x.astype(np.float64))
+
+
+def test_fingerprint_object_graphs(demo_prior, demo_physmodel, small_sim_config):
+    from gigalens_tpu.model import ForwardProbModel
+    from gigalens_tpu.simulator import LensSimulator
+
+    obs = np.zeros((20, 20), np.float32)
+    pm1 = ForwardProbModel(demo_prior, obs, background_rms=0.1, exp_time=100.0)
+    pm2 = ForwardProbModel(demo_prior, obs + 0.1, background_rms=0.1,
+                           exp_time=100.0)
+    sim = LensSimulator(demo_physmodel, small_sim_config, bs=4)
+    # different observed data -> different program fingerprint
+    assert aot.data_fingerprint(pm1, sim) != aot.data_fingerprint(pm2, sim)
+    # self-consistent
+    assert aot.data_fingerprint(pm1, sim) == aot.data_fingerprint(pm1, sim)
+
+
+def test_aot_program_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("GIGALENS_JAX_CACHE", str(tmp_path))
+
+    def f(x):
+        return jnp.sin(x) * 2.0 + jnp.cumsum(x)
+
+    x = jnp.arange(8, dtype=jnp.float32)
+    p1 = aot.AOTProgram("t_round", f, "desc", enable=True)
+    y1 = np.asarray(p1(x))
+    files = list((tmp_path / "export").glob("t_round-*.jaxexport"))
+    assert len(files) == 1
+
+    # fresh AOTProgram == fresh process; exporting again would mean the
+    # cache was missed, so make export itself an error
+    from jax import export as jexport
+
+    def boom(*a, **k):
+        raise AssertionError("export called: disk cache was not hit")
+
+    monkeypatch.setattr(jexport, "export", boom)
+    p2 = aot.AOTProgram("t_round", f, "desc", enable=True)
+    y2 = np.asarray(p2(x))
+    np.testing.assert_array_equal(y1, y2)
+
+
+def test_aot_program_key_separates_descs(tmp_path, monkeypatch):
+    monkeypatch.setenv("GIGALENS_JAX_CACHE", str(tmp_path))
+
+    def f(x):
+        return x + 1.0
+
+    x = jnp.ones((4,))
+    aot.AOTProgram("t_key", f, "A", enable=True)(x)
+    aot.AOTProgram("t_key", f, "B", enable=True)(x)
+    # different static_desc -> different artifacts (no false sharing)
+    assert len(list((tmp_path / "export").glob("t_key-*.jaxexport"))) == 2
+    # different arg signature re-resolves under the same program
+    p = aot.AOTProgram("t_key", f, "A", enable=True)
+    p(x)
+    p(jnp.ones((7,)))
+    assert len(list((tmp_path / "export").glob("t_key-*.jaxexport"))) == 3
+
+
+def test_hmc_aot_matches_plain_jit(tmp_path, monkeypatch):
+    """End-to-end: the exported+reloaded HMC program reproduces plain jit
+    bitwise, including the custom pytree adaptation states (namedtuple
+    registration round-trip)."""
+    monkeypatch.setenv("GIGALENS_JAX_CACHE", str(tmp_path))
+    monkeypatch.setenv("GIGALENS_AOT_CACHE", "force")
+
+    from gigalens_tpu.inference import hmc as hmc_mod
+
+    def run(aot_desc):
+        hmc_mod.clear_program_caches()
+        z0 = jax.random.normal(jax.random.PRNGKey(0), (8, 3))
+        res = hmc_mod.sample_hmc(
+            lambda z: -0.5 * jnp.sum(z**2, axis=-1),
+            z0,
+            jax.random.PRNGKey(1),
+            num_burnin_steps=25,
+            num_results=25,
+            trajectory_adaptation="chees",
+            aot_desc=aot_desc,
+        )
+        return np.asarray(res.samples)
+
+    plain = run(None)
+    exported = run("gauss3")  # traces + exports + runs (plain jit this proc)
+    n_files = len(list((tmp_path / "export").glob("hmc_*.jaxexport")))
+    assert n_files == 2  # init + segment
+    reloaded = run("gauss3")  # fresh programs -> deserializes from disk
+    assert len(list((tmp_path / "export").glob("hmc_*.jaxexport"))) == n_files
+    np.testing.assert_array_equal(plain, exported)
+    np.testing.assert_array_equal(plain, reloaded)
+
+
+@pytest.mark.parametrize("phase", ["map", "svi"])
+def test_phase_aot_matches_plain_jit(tmp_path, monkeypatch, phase,
+                                     demo_prior, demo_physmodel,
+                                     small_sim_config):
+    """MAP and SVI segment programs: forced AOT == plain jit bitwise."""
+    from gigalens_tpu.inference.map import fit_map
+    from gigalens_tpu.inference.svi import fit_svi
+    from gigalens_tpu.model import ForwardProbModel
+    from gigalens_tpu.simulator import LensSimulator
+
+    monkeypatch.setenv("GIGALENS_JAX_CACHE", str(tmp_path))
+    obs = np.zeros((20, 20), np.float32)
+    prob_model = ForwardProbModel(demo_prior, obs, background_rms=0.1,
+                                  exp_time=100.0)
+    sim = LensSimulator(demo_physmodel, small_sim_config, bs=8)
+    opt = _mk_opt(1e-2, 10)
+
+    def run():
+        if phase == "map":
+            z, hist = fit_map(prob_model, sim, opt, n_samples=8, num_steps=10,
+                              seed=0)
+            return np.asarray(z)
+        start = demo_prior.unconstrain(
+            demo_prior.sample(jax.random.PRNGKey(0), 1)
+        )
+        q, losses = fit_svi(prob_model, sim, start, opt, n_vi=8, num_steps=10,
+                            seed=0)
+        return np.asarray(losses)
+
+    monkeypatch.setenv("GIGALENS_AOT_CACHE", "0")
+    plain = run()
+    monkeypatch.setenv("GIGALENS_AOT_CACHE", "force")
+    exported = run()
+    assert list((tmp_path / "export").glob(f"{phase}_seg-*.jaxexport"))
+    reloaded = run()
+    np.testing.assert_array_equal(plain, exported)
+    np.testing.assert_array_equal(plain, reloaded)
