@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import optax
 
-from gigalens_tpu.inference.hmc import fit_hmc
+from gigalens_tpu.inference.hmc import _aot_desc, fit_hmc
 from gigalens_tpu.inference.map import best_start, fit_map
 from gigalens_tpu.inference.smc import fit_smc
 from gigalens_tpu.inference.svi import fit_svi
@@ -270,6 +270,7 @@ class ModellingSequence:
             mesh=self.mesh,
             segment_stages=segment_stages,
             progress=progress,
+            aot_desc=_aot_desc(self.prob_model, sim, self.mesh),
         )
 
     def fit(

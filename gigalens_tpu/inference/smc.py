@@ -76,6 +76,40 @@ def _systematic_resample(key, logw, z_extra):
     return jax.tree_util.tree_map(lambda a: a[idx], z_extra)
 
 
+class _Particles(NamedTuple):
+    """Particles with their cached log-density parts AND part-gradients.
+
+    The tempered target is ``lp + aux + (like - aux) * beta`` — affine in
+    ``beta`` — so caching the three parts and their three gradients lets
+    any stage's density/gradient at any temperature be formed
+    algebraically. That removes the per-stage ``like_parts`` re-eval and
+    the leading gradient eval of every HMC move (the dominant per-eval
+    cost, the simulator render backward, is identical whether the parts
+    are differentiated jointly or separately: their graphs are disjoint
+    above ``constrain``). Measured ~10% off the P=1000 benchmark's
+    tempering loop at bitwise-identical RNG decisions.
+    """
+
+    z: jnp.ndarray        # (P, E, d)
+    like: jnp.ndarray     # (P, E)
+    aux: jnp.ndarray      # (P, E)
+    lp: jnp.ndarray       # (P, E) prior
+    g_like: jnp.ndarray   # (P, E, d)
+    g_aux: jnp.ndarray    # (P, E, d)
+    g_lp: jnp.ndarray     # (P, E, d)
+
+
+class _State(NamedTuple):
+    key: jnp.ndarray
+    part: _Particles          # particles + cached parts/gradients
+    beta: jnp.ndarray         # (E,)
+    log_scalings: jnp.ndarray  # (P, E)
+    num_steps: jnp.ndarray    # () int
+    stage: jnp.ndarray        # () int
+    log_z: jnp.ndarray        # (E,) accumulated log-evidence estimate
+
+
+
 def fit_smc(
     prob_model,
     simulator,
@@ -96,6 +130,7 @@ def fit_smc(
     mesh=None,
     segment_stages: int = 0,
     progress=None,
+    aot_desc=None,
 ):
     P, E = num_particles, num_ensembles
     n = P * E
@@ -184,28 +219,6 @@ def fit_smc(
 
     target_fn = _stats(target, required=True)
     aux_fn = _stats(auxiliar)
-
-    class _Particles(NamedTuple):
-        """Particles with their cached log-density parts AND part-gradients.
-
-        The tempered target is ``lp + aux + (like - aux) * beta`` — affine in
-        ``beta`` — so caching the three parts and their three gradients lets
-        any stage's density/gradient at any temperature be formed
-        algebraically. That removes the per-stage ``like_parts`` re-eval and
-        the leading gradient eval of every HMC move (the dominant per-eval
-        cost, the simulator render backward, is identical whether the parts
-        are differentiated jointly or separately: their graphs are disjoint
-        above ``constrain``). Measured ~10% off the P=1000 benchmark's
-        tempering loop at bitwise-identical RNG decisions.
-        """
-
-        z: jnp.ndarray        # (P, E, d)
-        like: jnp.ndarray     # (P, E)
-        aux: jnp.ndarray      # (P, E)
-        lp: jnp.ndarray       # (P, E) prior
-        g_like: jnp.ndarray   # (P, E, d)
-        g_aux: jnp.ndarray    # (P, E, d)
-        g_lp: jnp.ndarray     # (P, E, d)
 
     def eval_particles(z):
         """Full forward + the three part-gradients at z."""
@@ -331,15 +344,6 @@ def fit_smc(
 
     init_log_scaling = float(np.log(min(1.0, 2.38**2 / d)))
 
-    class _State(NamedTuple):
-        key: jnp.ndarray
-        part: _Particles          # particles + cached parts/gradients
-        beta: jnp.ndarray         # (E,)
-        log_scalings: jnp.ndarray  # (P, E)
-        num_steps: jnp.ndarray    # () int
-        stage: jnp.ndarray        # () int
-        log_z: jnp.ndarray        # (E,) accumulated log-evidence estimate
-
     def cond(s: _State):
         return (jnp.min(s.beta) < 1.0) & (s.stage < max_stage)
 
@@ -402,7 +406,6 @@ def fit_smc(
         return _State(key, part, beta_new, log_scalings, num_steps, s.stage + 1,
                       log_z)
 
-    @jax.jit
     def run_stages(s, seg_end):
         """Advance the tempering while_loop up to ``seg_end`` stages.
 
@@ -417,7 +420,6 @@ def fit_smc(
     # post-SMC HMC chain at beta = 1 reusing tuned scalings, dispatched in
     # the same bounded segments as the tempering loop (a 100-step chain at
     # bs >= 500 in one dispatch exceeds the axon tunnel's execution limit)
-    @jax.jit
     def post_chunk(part, log_scalings, keys, tril):
         def post_step(part, key):
             part, _ = hmc_move(key, part, jnp.ones((E,)), log_scalings, tril)
@@ -457,6 +459,25 @@ def fit_smc(
         # separate sample stream), matching the unsegmented behavior
         return (s.part.z, s.stage, s.log_scalings,
                 jnp.concatenate(parts)[:post_sampling_steps], s.beta, s.log_z)
+
+    # cross-process AOT program reuse (see utils/aot.py): the tempering and
+    # post-chain programs are the two big compiles (~35% of the round-2
+    # P=1000 wall was compile). Callable target/auxiliar terms cannot be
+    # fingerprinted -> plain jit.
+    if aot_desc is not None and not (callable(target) or callable(auxiliar)):
+        from gigalens_tpu.utils import aot
+
+        static = "|".join(str(x) for x in (
+            aot_desc, P, E, num_leapfrog_steps, post_sampling_steps,
+            ess_threshold_ratio, max_sampling_per_stage,
+            min_sampling_per_stage, max_stage, target, auxiliar,
+            optimal_accept, precondition_moves,
+        ))
+        run_stages = aot.aot_jit("smc_stages", run_stages, static_desc=static)
+        post_chunk = aot.aot_jit("smc_post", post_chunk, static_desc=static)
+    else:
+        run_stages = jax.jit(run_stages)
+        post_chunk = jax.jit(post_chunk)
 
     s = _State(
         key=key,

@@ -1,4 +1,4 @@
-"""dPIE cluster-member (subhalo) populations: direct, series, Pallas-fused.
+"""dPIE cluster-member (subhalo) populations: direct and series-accelerated.
 
 Reference: ``src/gigalens/jax/profiles/mass/dpie_subhalo.py`` and
 ``dpie_subhalo_series.py``. Default Faber-Jackson-like scaling powers 0.5 on
@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional
 
-import jax
 import jax.numpy as jnp
 
 from gigalens_tpu.profiles.base import MassProfile
@@ -39,63 +38,6 @@ class DPIESubhalo(ScalingRelation):
             galaxy_catalogue=galaxy_catalogue,
             **kwargs,
         )
-
-
-class DPIESubhaloPallas(MassProfile):
-    """dPIE member stack with the fused Pallas deflection kernel.
-
-    ``deriv`` runs the VMEM-tiled galaxies x pixels kernel
-    (:mod:`gigalens_tpu.ops.pallas.dpie_cluster`) with exact custom-VJP
-    gradients w.r.t. the global (theta_E, r_core, r_cut) scalings; field
-    quantities needing Hessians fall back to the XLA stack (they are evaluated
-    at a handful of points, not over the image grid). On non-TPU backends
-    ``deriv`` falls back to XLA too unless ``force_kernel``.
-    """
-
-    _name = "Scaled-dPIE-pallas"
-    _params = ["theta_E", "r_core", "r_cut"]
-
-    def __init__(
-        self,
-        lum_star: float,
-        galaxy_catalogue: Dict[str, List],
-        scaling_params_power: Optional[Dict[str, float]] = None,
-        force_kernel: bool = False,
-        **kwargs,
-    ):
-        super().__init__()
-        from gigalens_tpu.ops.pallas.dpie_cluster import make_galaxy_table
-
-        powers = scaling_params_power or dict(_DEFAULT_POWERS)
-        self.table = jnp.asarray(
-            make_galaxy_table(galaxy_catalogue, lum_star, powers)
-        )
-        self._xla = DPIESubhalo(
-            lum_star, galaxy_catalogue, scaling_params_power=powers, **kwargs
-        )
-        self.use_kernel = force_kernel or jax.default_backend() == "tpu"
-
-    def deriv(self, x, y, theta_E, r_core, r_cut):
-        if not self.use_kernel:
-            return self._xla.deriv(x, y, theta_E=theta_E, r_core=r_core, r_cut=r_cut)
-        from gigalens_tpu.ops.pallas.dpie_cluster import dpie_cluster_deriv
-
-        scales = jnp.stack(
-            [jnp.reshape(theta_E, (-1,)), jnp.reshape(r_core, (-1,)),
-             jnp.reshape(r_cut, (-1,))],
-            axis=-1,
-        )
-        return dpie_cluster_deriv(scales, self.table, jnp.reshape(x, (-1,)),
-                                  jnp.reshape(y, (-1,)))
-
-    def hessian(self, x, y, **scales):
-        return self._xla.hessian(x, y, **scales)
-
-    def convergence(self, x, y, **scales):
-        return self._xla.convergence(x, y, **scales)
-
-    def shear(self, x, y, **scales):
-        return self._xla.shear(x, y, **scales)
 
 
 class DPIESubhaloSeries(ScalingRelationSeries):

@@ -46,18 +46,39 @@ def find_images(
     )  # native pixel scale
     dedupe = delta_pix if dedupe_scale is None else float(dedupe_scale)
 
-    beta_fn = jax.jit(
-        lambda x, y: simulator.beta(jnp.atleast_1d(x), jnp.atleast_1d(y), lens_params)
+    # Pin the probe programs to the host CPU backend: the Newton loop below
+    # is a host-driven sequence of tiny (O(candidates)) evaluations, and on
+    # the axon TPU tunnel each dispatch costs ~1.5 s — a 10-candidate search
+    # was measured at ~10 minutes through the tunnel vs <1 s on host.
+    # Uncommitted (numpy/python) arguments follow jax.default_device, so
+    # lens_params and the seed grid are materialized host-side first.
+    cpu = jax.devices("cpu")[0]
+    lens_params = jax.tree_util.tree_map(
+        lambda a: jax.device_put(np.asarray(a), cpu), lens_params
     )
-    hess_fn = jax.jit(
-        lambda x, y: simulator.hessian(
-            jnp.atleast_1d(x), jnp.atleast_1d(y), lens_params
-        )
+    grid_x = jax.device_put(np.asarray(simulator.img_x), cpu)
+    grid_y = jax.device_put(np.asarray(simulator.img_y), cpu)
+
+    _beta_jit = jax.jit(
+        lambda x, y: simulator.beta(jnp.atleast_1d(x), jnp.atleast_1d(y),
+                                    lens_params)
     )
+    _hess_jit = jax.jit(
+        lambda x, y: simulator.hessian(jnp.atleast_1d(x), jnp.atleast_1d(y),
+                                       lens_params)
+    )
+
+    def beta_fn(x, y):
+        with jax.default_device(cpu):
+            return _beta_jit(x, y)
+
+    def hess_fn(x, y):
+        with jax.default_device(cpu):
+            return _hess_jit(x, y)
 
     from scipy.ndimage import minimum_filter
 
-    bx, by = beta_fn(simulator.img_x, simulator.img_y)
+    bx, by = beta_fn(grid_x, grid_y)
     d2 = (np.asarray(bx)[0] - src_x) ** 2 + (np.asarray(by)[0] - src_y) ** 2
     d2 = d2.reshape(simulator.h_ss, simulator.w_ss)
     cand = (d2 == minimum_filter(d2, size=5)) & (

@@ -1,4 +1,4 @@
-"""Cluster-path micro-benchmark: XLA scaling relation vs Pallas kernel vs series.
+"""Cluster-path micro-benchmark: XLA scaling relation vs jet series.
 
 Measures the dPIE member deflection sum (the cluster hot loop) forward and
 forward+gradient, at configurable scale. Run on TPU for real numbers; CPU
@@ -31,13 +31,11 @@ import jax
 
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
-INTERPRET = args.cpu  # pallas on CPU only runs in interpret mode
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
-from gigalens_tpu.ops.pallas.dpie_cluster import dpie_cluster_deriv, make_galaxy_table
 from gigalens_tpu.profiles.mass.dpie_subhalo import DPIESubhalo, DPIESubhaloSeries
 
 G, P, BS = args.galaxies, args.pixels, args.bs
@@ -49,8 +47,6 @@ cat = dict(
     e1=rng.uniform(-0.3, 0.3, G).astype(np.float32),
     e2=rng.uniform(-0.3, 0.3, G).astype(np.float32),
 )
-powers = {"theta_E": 0.5, "r_core": 0.5, "r_cut": 0.5}
-table = jnp.asarray(make_galaxy_table(cat, 1.0, powers))
 side = int(np.sqrt(P))
 xs = np.linspace(-30, 30, side, dtype=np.float32)
 X, Y = np.meshgrid(xs, xs)
@@ -86,16 +82,10 @@ xla_fwd = jax.jit(lambda s: xla_prof.deriv(
     x, y, theta_E=s[:, 0:1], r_core=s[:, 1:2], r_cut=s[:, 2:3])[0].sum())
 timed("XLA scaling fwd", xla_fwd, scales)
 
-pal_fwd = jax.jit(lambda s: dpie_cluster_deriv(s, table, x, y, INTERPRET)[0].sum())
-timed("Pallas kernel fwd", pal_fwd, scales)
-
 # ---- forward + grad ----------------------------------------------------------
 xla_fg = jax.jit(jax.grad(lambda s: xla_prof.deriv(
     x, y, theta_E=s[:, 0:1], r_core=s[:, 1:2], r_cut=s[:, 2:3])[0].sum()))
 timed("XLA scaling fwd+grad", xla_fg, scales)
-
-pal_fg = jax.jit(jax.grad(lambda s: dpie_cluster_deriv(s, table, x, y, INTERPRET)[0].sum()))
-timed("Pallas kernel fwd+grad", pal_fg, scales)
 
 # ---- series (precompute once, then O(order) eval) ----------------------------
 series_prof.set_constants(dict(r_cut=1.6, r_core=0.08))

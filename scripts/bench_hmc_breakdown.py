@@ -146,6 +146,24 @@ def main():
 
         rows["full_val_grad"] = timeit(jax.jit(lp_vjp), z)
 
+        # 8. the EXACT (HMC) path: fft conv instead of dft (see
+        # inference/sequence.py phase_simulator — MH needs fft smoothness)
+        import dataclasses
+
+        sim_e = LensSimulator(
+            phys, dataclasses.replace(cfg, psf_mode="fft"), bs=bs
+        )
+        ce_fwd = jax.jit(lambda i: sim_e._conv(i))
+        rows["conv_fft_fwd"] = timeit(ce_fwd, img)
+        ce_fb = jax.jit(jax.grad(lambda i: jnp.sum(sim_e._conv(i))))
+        rows["conv_fft_fwd_bwd"] = timeit(ce_fb, img)
+
+        def lp_e_vjp(z):
+            l, vjp = jax.vjp(lambda zz: pm.log_prob(sim_e, zz)[0], z)
+            return l, vjp(jnp.ones_like(l))[0]
+
+        rows["exact_val_grad"] = timeit(jax.jit(lp_e_vjp), z)
+
         print(f"bs={bs}")
         for k, v in rows.items():
             print(f"  {k:18s} {v*1e3:8.3f} ms")

@@ -81,6 +81,11 @@ def build(bs):
     sim1 = LensSimulator(phys, cfg, bs=1)
     obs = np.asarray(jax.jit(sim1.simulate)(truth))
     pm = ForwardProbModel(prior, obs, background_rms=0.2, exp_time=100.0)
+    mode = os.environ.get("GIGALENS_STEPCOST_PSF")  # None=auto(dft) | fft
+    if mode:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, psf_mode=mode)
     sim = LensSimulator(phys, cfg, bs=bs)
     return prior, pm, sim
 
