@@ -35,7 +35,11 @@ def main():
     cache_dir = os.environ.get("GIGALENS_JAX_CACHE", "/root/repo/.jax_cache")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # cache EVERY compile: on the axon tunnel even a trivial op pays a
+        # ~0.4 s remote-compile round trip, and a pipeline run dispatches
+        # dozens of small utility programs around the big phase programs —
+        # persisting them all turns that tax into ~ms disk hits on reruns
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception as e:  # older jax without the flags
         log(f"compilation cache unavailable: {e}")
 
@@ -52,6 +56,16 @@ def main():
     from gigalens_tpu.profiles.mass.shear import Shear
     from gigalens_tpu.simulator import LensSimulator
     from gigalens_tpu.utils import effective_sample_size, potential_scale_reduction
+    from gigalens_tpu.utils import aot
+
+    aot_log = []
+
+    def drain_aot(phase):
+        evs = aot.drain_events()
+        for name, status, secs in evs:
+            aot_log.append(dict(phase=phase, program=name, status=status,
+                                resolve_s=secs))
+            log(f"  aot[{phase}] {name}: {status} ({secs:.2f}s)")
 
     scale = os.environ.get("GIGALENS_BENCH_SCALE", "full")
     cfgs = {
@@ -169,6 +183,7 @@ def main():
                     seed=0)
     jax.block_until_ready(z_map)
     t_map = time.time() - t0
+    drain_aot("map")
     sim_b = LensSimulator(phys, sim_config, bs=z_map.shape[0])
     lps, chi2 = jax.jit(lambda z: prob_model.log_prob(sim_b, z))(z_map)
     best_chi2 = float(jnp.nanmin(chi2))
@@ -183,7 +198,8 @@ def main():
     laplace_method = os.environ.get("GIGALENS_LAPLACE_METHOD", "fd")
     L0 = seq.laplace_scale_tril(best, method=laplace_method)
     jax.block_until_ready(L0)
-    log(f"laplace init: {time.time()-t0:.1f}s")
+    t_laplace = time.time() - t0
+    log(f"laplace init: {t_laplace:.1f}s")
     schedule = optax.polynomial_schedule(-1e-6, -3e-3, 2, max(cfgs["vi_steps"] // 5, 1))
     opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(schedule))
     q_z, losses = seq.SVI(best, opt, n_vi=cfgs["vi_n"], num_steps=cfgs["vi_steps"],
@@ -191,49 +207,107 @@ def main():
     jax.block_until_ready(losses)
     t_svi = time.time() - t0
     log(f"SVI: {t_svi:.1f}s elbo {float(losses[0]):.1f} -> {float(losses[-1]):.1f}")
+    drain_aot("svi")
 
     # ---- HMC ----------------------------------------------------------
     # >= 3 seeds at full scale: min-ESS has ~2x seed-to-seed spread
     # (BASELINE.md "Pallas DFT" section), so a single draw of ESS/sec is not
     # a stable headline number — report the per-seed list and the median.
+    # All seeds run as ONE grouped device program (fit_hmc seeds=...): each
+    # seed is an independently-initialized, independently-adapting group of
+    # hmc_n chains, but the posterior gradient evaluates the whole
+    # G*hmc_n batch together. Per-chain gradient cost is ~flat in batch
+    # size (BASELINE.md), so G replicas cost ~1x — one compile, one run.
+    # The per-posterior (per-seed) cost is the grouped wall / G; both that
+    # and the total grouped wall are reported.
+    hmc_seeds = list(cfgs["hmc_seeds"])
+    grouped = len(hmc_seeds) > 1 and os.environ.get(
+        "GIGALENS_HMC_GROUPED", "1") != "0"
     seed_rows = []
-    for hmc_seed in cfgs["hmc_seeds"]:
+    if grouped:
+        G, C = len(hmc_seeds), cfgs["hmc_n"]
         t0 = time.time()
         res = seq.HMC(
-            q_z, n_hmc=cfgs["hmc_n"],
+            q_z, n_hmc=C,
             num_burnin_steps=cfgs["burnin"], num_results=cfgs["results"],
-            seed=hmc_seed,
+            seeds=hmc_seeds,
         )
         jax.block_until_ready(res.samples)
-        t_hmc = time.time() - t0
+        t_wall = time.time() - t0
+        nlf = int(res.total_leapfrogs)
+        accept_all = float(np.asarray(res.accept_rate)[-100:].mean())
+        for g, hmc_seed in enumerate(hmc_seeds):
+            zs_g = res.samples[:, g * C:(g + 1) * C]
+            ess = np.asarray(effective_sample_size(zs_g))
+            rhat = np.asarray(potential_scale_reduction(zs_g))
+            t_seed = t_wall / G  # amortized per-posterior cost
+            seed_rows.append(dict(
+                seed=hmc_seed, t=t_seed, min_ess=float(ess.min()),
+                ess_per_sec=float(ess.min()) / t_seed,
+                max_rhat=float(rhat.max()), accept=accept_all,
+                eps=float(np.asarray(res.step_size)[g]),
+                leapfrogs=nlf,
+            ))
+            log(
+                f"HMC seed {hmc_seed} (group {g}/{G}): eps "
+                f"{seed_rows[-1]['eps']:.4f} min ESS {ess.min():.0f} "
+                f"max rhat {rhat.max():.3f}"
+            )
+        log(
+            f"HMC grouped x{G}: {t_wall:.1f}s total ({t_wall / G:.1f}s/seed) "
+            f"accept {accept_all:.2f} leapfrogs {nlf} "
+            f"({t_wall / max(nlf, 1) * 1e3:.2f} ms/lf at {G * C} chains)"
+        )
+        # headline quality from the last group's samples
+        last = res.samples[:, (G - 1) * C:]
+        ess = np.asarray(effective_sample_size(last))
+        rhat = np.asarray(potential_scale_reduction(last))
+        accept = accept_all
+        post_samples = res.samples[-1]
+        hmc_wall_all = t_wall
+    else:
+        for hmc_seed in hmc_seeds:
+            t0 = time.time()
+            res = seq.HMC(
+                q_z, n_hmc=cfgs["hmc_n"],
+                num_burnin_steps=cfgs["burnin"], num_results=cfgs["results"],
+                seed=hmc_seed,
+            )
+            jax.block_until_ready(res.samples)
+            t_hmc = time.time() - t0
 
+            ess = np.asarray(effective_sample_size(res.samples))
+            rhat = np.asarray(potential_scale_reduction(res.samples))
+            accept = float(np.asarray(res.accept_rate)[-100:].mean())
+            nlf = int(res.total_leapfrogs)
+            seed_rows.append(dict(
+                seed=hmc_seed, t=t_hmc, min_ess=float(ess.min()),
+                ess_per_sec=float(ess.min()) / t_hmc, max_rhat=float(rhat.max()),
+                accept=accept, eps=float(res.step_size), leapfrogs=nlf,
+            ))
+            log(
+                f"HMC seed {hmc_seed}: {t_hmc:.1f}s accept {accept:.2f} "
+                f"eps {float(res.step_size):.4f} min ESS {ess.min():.0f} "
+                f"max rhat {rhat.max():.3f} leapfrogs {nlf} "
+                f"({t_hmc / max(nlf, 1) * 1e3:.2f} ms/lf)"
+            )
+        # headline quality numbers from the last run (its samples are in hand)
         ess = np.asarray(effective_sample_size(res.samples))
         rhat = np.asarray(potential_scale_reduction(res.samples))
-        accept = float(np.asarray(res.accept_rate)[-100:].mean())
-        nlf = int(res.total_leapfrogs)
-        seed_rows.append(dict(
-            seed=hmc_seed, t=t_hmc, min_ess=float(ess.min()),
-            ess_per_sec=float(ess.min()) / t_hmc, max_rhat=float(rhat.max()),
-            accept=accept, eps=float(res.step_size), leapfrogs=nlf,
-        ))
-        log(
-            f"HMC seed {hmc_seed}: {t_hmc:.1f}s accept {accept:.2f} "
-            f"eps {float(res.step_size):.4f} min ESS {ess.min():.0f} "
-            f"max rhat {rhat.max():.3f} leapfrogs {nlf} "
-            f"({t_hmc / max(nlf, 1) * 1e3:.2f} ms/lf)"
-        )
+        accept = seed_rows[-1]["accept"]
+        post_samples = res.samples[-1]
+        hmc_wall_all = float(np.sum([r["t"] for r in seed_rows]))
 
+    drain_aot("hmc")
     t_hmc = float(np.median([r["t"] for r in seed_rows]))
     ess_per_sec_median = float(np.median([r["ess_per_sec"] for r in seed_rows]))
-    # headline quality numbers from the last run (its samples are in hand)
-    ess = np.asarray(effective_sample_size(res.samples))
-    rhat = np.asarray(potential_scale_reduction(res.samples))
-    accept = seed_rows[-1]["accept"]
 
-    # pipeline total = MAP + SVI + median HMC phase (one posterior run)
+    # pipeline total = MAP + SVI + median per-seed HMC cost (one posterior
+    # run; in grouped mode that is the grouped wall / n_seeds — the
+    # hmc_wall_all_seeds extra records the full grouped wall)
     total = t_map + t_svi + t_hmc
-    sim_p = LensSimulator(phys, sim_config, bs=res.samples.shape[1])
-    _, chi2_post = jax.jit(lambda z: prob_model.log_prob(sim_p, z))(res.samples[-1])
+    sim_p = LensSimulator(phys, sim_config, bs=post_samples.shape[0])
+    _, chi2_post = jax.jit(lambda z: prob_model.log_prob(sim_p, z))(post_samples)
     post_chi2 = float(jnp.mean(chi2_post))
     log(f"posterior mean red-chi2 {post_chi2:.3f}")
 
@@ -350,12 +424,16 @@ def main():
         "unit": "s",
         "vs_baseline": vs,
         "phase_s": {"map": round(t_map, 2), "svi": round(t_svi, 2), "hmc": round(t_hmc, 2)},
+        "laplace_s": round(t_laplace, 2),
         "ess_per_sec": round(float(ess.min()) / seed_rows[-1]["t"], 2),
         "ess_per_sec_median": round(ess_per_sec_median, 2),
         "seeds": [
             {k: (round(v, 4) if isinstance(v, float) else v) for k, v in r.items()}
             for r in seed_rows
         ],
+        "hmc_grouped": grouped,
+        "hmc_wall_all_seeds": round(hmc_wall_all, 2),
+        "aot": aot_log,
         "min_ess": round(float(ess.min()), 1),
         "max_rhat": round(float(rhat.max()), 4),
         "best_map_red_chi2": round(best_chi2, 4),

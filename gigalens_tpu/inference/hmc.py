@@ -567,6 +567,7 @@ def fit_hmc(
     accept_reduction: str = "mean",
     init_spread: float = 0.2,
     seed: int = 0,
+    seeds=None,
     mesh=None,
     segment_steps: int = 0,
     progress=None,
@@ -578,9 +579,24 @@ def fit_hmc(
     reference's GradientBasedTrajectoryLengthAdaptation) capped at
     ``max_leapfrog_steps``; pass ``trajectory_adaptation="none"`` for the
     static-L kernel. Returns :class:`HMCResult`.
+
+    ``seeds`` (a sequence) runs all replicas in ONE grouped device program:
+    each seed initializes its own ``n_hmc``-chain group and every group
+    adapts independently (step size, trajectory length, mass windows), but
+    the posterior gradient evaluates the whole ``len(seeds) * n_hmc`` batch
+    together. Per-chain gradient cost is ~flat in batch size on TPU
+    (BASELINE.md: flat to bs=800), so G replicas cost ~1x a single run's
+    wall instead of Gx — and the program compiles once instead of G times.
+    The result's ``samples`` are group-major: ``samples[:, g*n_hmc:(g+1)*n_hmc]``
+    is seed ``seeds[g]``'s posterior; ``step_size``/``trajectory_length``
+    come back as (G,) vectors.
     """
-    key = jax.random.PRNGKey(seed)
-    k_init, k_chain = jax.random.split(key)
+    if seeds is not None and len(seeds) > 1:
+        n_groups = len(seeds)
+    else:
+        n_groups = 1
+        if seeds:
+            seed = seeds[0]
 
     # start chains in a contracted cloud around the surrogate mean: samples
     # from an overdispersed q land in high-curvature tails, whose early
@@ -590,7 +606,15 @@ def fit_hmc(
         z = q_z.sample(k, (n_hmc,))
         return q_z.mean()[None, :] + init_spread * (z - q_z.mean()[None, :])
 
-    z0 = _init(k_init)
+    if n_groups > 1:
+        z0 = jnp.concatenate(
+            [_init(jax.random.split(jax.random.PRNGKey(s))[0]) for s in seeds]
+        )  # group-major (G * n_hmc, d)
+        k_chain = jax.random.split(jax.random.PRNGKey(seeds[0]))[1]
+    else:
+        key = jax.random.PRNGKey(seed)
+        k_init, k_chain = jax.random.split(key)
+        z0 = _init(k_init)
     if mesh is not None and mesh.size > 1:
         z0 = pmesh.shard_samples(z0, mesh)
 
@@ -612,4 +636,5 @@ def fit_hmc(
         mesh=mesh,
         segment_steps=segment_steps,
         progress=progress,
+        n_groups=n_groups,
     )

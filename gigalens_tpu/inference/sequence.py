@@ -209,11 +209,17 @@ class ModellingSequence:
         trajectory_adaptation: str = "chees",
         mass_adaptation: bool = True,
         seed: int = 0,
+        seeds=None,
         segment_steps: int = 0,
         progress=None,
     ):
+        """``seeds`` (sequence) runs all replicas as ONE grouped device
+        program (see :func:`gigalens_tpu.inference.hmc.fit_hmc`): G
+        independent ``n_hmc``-chain posteriors for ~1x (not Gx) the wall."""
         n_hmc = pmesh.round_to_multiple(n_hmc, self.mesh.size, "n_hmc chains")
-        sim = self._sim(n_hmc, exact=True)
+        n_total = n_hmc * (len(seeds) if seeds is not None and len(seeds) > 1
+                           else 1)
+        sim = self._sim(n_total, exact=True)
         return fit_hmc(
             self.prob_model,
             sim,
@@ -227,6 +233,7 @@ class ModellingSequence:
             trajectory_adaptation=trajectory_adaptation,
             mass_adaptation=mass_adaptation,
             seed=seed,
+            seeds=seeds,
             mesh=self.mesh,
             segment_steps=segment_steps,
             progress=progress,

@@ -467,11 +467,17 @@ def fit_smc(
     if aot_desc is not None and not (callable(target) or callable(auxiliar)):
         from gigalens_tpu.utils import aot
 
+        # stage_body closes over the mesh (constrain_samples / z0 sharding),
+        # so the mesh topology must be part of the key: a direct fit_smc call
+        # with a multi-device mesh must not collide with a mesh=None export
+        mesh_desc = "mesh=none" if mesh is None else (
+            f"mesh={mesh.shape}/{','.join(mesh.axis_names)}"
+        )
         static = "|".join(str(x) for x in (
             aot_desc, P, E, num_leapfrog_steps, post_sampling_steps,
             ess_threshold_ratio, max_sampling_per_stage,
             min_sampling_per_stage, max_stage, target, auxiliar,
-            optimal_accept, precondition_moves,
+            optimal_accept, precondition_moves, mesh_desc,
         ))
         run_stages = aot.aot_jit("smc_stages", run_stages, static_desc=static)
         post_chunk = aot.aot_jit("smc_post", post_chunk, static_desc=static)

@@ -44,6 +44,19 @@ log = logging.getLogger(__name__)
 
 _SENTINEL = object()
 
+# in-process record of every cache resolution: (program name, "hit" |
+# "miss" | "load-failed" | "export-failed" | "disabled", seconds spent
+# resolving). bench.py surfaces this so a driver log shows exactly which
+# phase programs were served from disk and which paid trace+lower.
+events: list = []
+
+
+def drain_events():
+    """Return and clear the resolution event log."""
+    out = list(events)
+    events.clear()
+    return out
+
 
 @functools.lru_cache(maxsize=1)
 def package_fingerprint() -> str:
@@ -185,7 +198,11 @@ class AOTProgram:
         return h.hexdigest()
 
     def _resolve(self, args):
+        import time as _time
+
+        t0 = _time.time()
         if not self.enable:
+            events.append((self.name, "disabled", 0.0))
             return jax.jit(self.fn)
         from jax import export as jexport
 
@@ -196,10 +213,14 @@ class AOTProgram:
                     lambda: jexport.deserialize(path.read_bytes())
                 )
                 log.debug("aot: loaded %s", path.name)
+                events.append((self.name, "hit", round(_time.time() - t0, 3)))
                 return jax.jit(exp.call)
             except Exception as e:  # version skew, corrupt file, ...
                 log.warning("aot: failed to load %s (%s); re-exporting",
                             path.name, e)
+                events.append(
+                    (self.name, "load-failed", round(_time.time() - t0, 3))
+                )
         jfn = jax.jit(self.fn)
         try:
             specs = jax.tree_util.tree_map(
@@ -215,10 +236,17 @@ class AOTProgram:
             tmp.write_bytes(data)
             os.replace(tmp, path)
             log.debug("aot: exported %s (%.1f MB)", path.name, len(data) / 1e6)
+            events.append((self.name, "miss", round(_time.time() - t0, 3)))
+            # call through the module we just lowered for export — retracing
+            # via the plain jit path would pay Python tracing + lowering a
+            # second time (measured 5-15 s for the phase programs, the bulk
+            # of round 3's +15 s SVI regression on a cold export cache)
+            return jax.jit(exp.call)
         except Exception as e:
             log.warning("aot: export of %s failed (%s); plain jit", self.name, e)
-        # use the plain jit path this process (already lowered once by
-        # export; XLA persistent cache makes its compile cheap next time)
+            events.append(
+                (self.name, "export-failed", round(_time.time() - t0, 3))
+            )
         return jfn
 
     def __call__(self, *args):

@@ -10,6 +10,7 @@ the examples/demo_*.py scripts are the executable twins.
 
     python scripts/gen_gallery_nbs.py
 """
+import hashlib
 import os
 
 import nbformat as nbf
@@ -17,12 +18,26 @@ import nbformat as nbf
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+_cell_counter = [0]
+
+
+def _cell_id(source):
+    # deterministic cell ids (hash of source + a counter for duplicates):
+    # nbformat's default random ids would make every regeneration diff
+    # against the committed notebooks, defeating drift checks
+    _cell_counter[0] += 1
+    h = hashlib.sha1(f"{_cell_counter[0]}:{source}".encode())
+    return h.hexdigest()[:16]
+
+
 def MD(s):
-    return nbf.v4.new_markdown_cell(s.strip())
+    s = s.strip()
+    return nbf.v4.new_markdown_cell(s, id=_cell_id(s))
 
 
 def PY(s):
-    return nbf.v4.new_code_cell(s.strip())
+    s = s.strip()
+    return nbf.v4.new_code_cell(s, id=_cell_id(s))
 
 
 def write(name, cells):

@@ -7,6 +7,7 @@ is the interactive on-ramp). Rerun after API changes:
 
     python scripts/gen_quickstart_nb.py
 """
+import hashlib
 import os
 
 import nbformat as nbf
@@ -14,12 +15,23 @@ import nbformat as nbf
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+_cell_counter = [0]
+
+
+def _cell_id(source):
+    # deterministic cell ids: see scripts/gen_gallery_nbs.py
+    _cell_counter[0] += 1
+    return hashlib.sha1(f"{_cell_counter[0]}:{source}".encode()).hexdigest()[:16]
+
+
 def MD(s):
-    return nbf.v4.new_markdown_cell(s.strip())
+    s = s.strip()
+    return nbf.v4.new_markdown_cell(s, id=_cell_id(s))
 
 
 def PY(s):
-    return nbf.v4.new_code_cell(s.strip())
+    s = s.strip()
+    return nbf.v4.new_code_cell(s, id=_cell_id(s))
 
 
 cells = [

@@ -15,6 +15,58 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# ---------------------------------------------------------------------------
+# Quick lane: `pytest -m quick` runs a ~2-minute smoke subset — one or two
+# fast, representative tests per subsystem — so suite health is checkable
+# without the 20-35 minute full run. Maintained here (not as decorators) so
+# the whole lane is visible and editable in one place.
+# ---------------------------------------------------------------------------
+QUICK_TESTS = {
+    # profiles: float64 oracle + AD-consistency
+    "test_profiles.py::test_epl",
+    "test_profiles.py::test_hessian_symmetry_epl",
+    "test_epl_gradients.py::test_epl_custom_vjp_matches_fd",
+    "test_profiles_extended.py::test_nfw_oracle",
+    "test_profiles_extra.py::test_nie_reduces_to_sie",
+    # simulator + conv paths
+    "test_simulator.py::test_dft_matches_fft_conv",
+    "test_simulator.py::test_simulate_shapes_and_finiteness",
+    "test_fused_render.py::test_fused_forward_parity",
+    "test_dft_pallas.py::test_forward_matches_xla_dft",
+    # prob stack
+    "test_prob.py::test_prior_roundtrip",
+    "test_prob.py::test_bijector_fldj_matches_autodiff",
+    # inference drivers
+    "test_inference.py::test_map_nonzero_lr_moves",
+    "test_inference.py::test_hmc_shapes",
+    "test_inference.py::test_smc_pixels_only_default_aux_and_segments",
+    # sharding / multi-device
+    "test_sharding.py::test_sharded_log_prob_matches",
+    # cluster machinery
+    "test_cluster.py::test_mass_series_dpie_matches_direct",
+    # survey mode (incl. grouped HMC)
+    "test_survey.py::test_grouped_hmc_per_group_adaptation",
+    # inversion, point sources, multi-plane
+    "test_inversion.py::test_marginal_likelihood_matches_float64_oracle",
+    "test_pointsource.py::test_sis_time_delay_analytic",
+    "test_multiplane.py::test_single_lens_multiplane_equals_single_plane",
+    # models / positions / analysis / utils / aot
+    "test_backward_model.py::test_backward_log_prob_and_map",
+    "test_positions.py::test_positions_likelihood_peaks_at_truth",
+    "test_lensing_analysis.py::test_sis_tangential_critical_curve_is_einstein_ring",
+    "test_utils.py::test_ess_iid_is_full",
+    "test_aot.py::test_aot_program_roundtrip",
+    "test_round2_fixes.py::test_half_angle_gradient_finite_at_origin",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        # item.nodeid is like "tests/test_x.py::test_y[param]"
+        base = item.nodeid.split("/")[-1].split("[")[0]
+        if base in QUICK_TESTS:
+            item.add_marker(pytest.mark.quick)
+
 from gigalens_tpu import PhysicalModel, SimulatorConfig
 from gigalens_tpu.prob import Prior
 from gigalens_tpu.prob import distributions as gld
