@@ -79,12 +79,17 @@ class LensSimulator(gmodel.VersionedAttrs):
         self.h_ss, self.w_ss = nx * ss, ny * ss
 
         # ---- pixel region mask -------------------------------------------
+        # n_live_pix is computed host-side in both branches: a
+        # np.asarray(device_array) here would be the process's FIRST
+        # device->host readback, which on the axon tunnel stalls a variable
+        # 5-140 s (measured) — a constructor must never pay that
         if sim_config.pix_region is None:
             self.img_region = jnp.ones((nx, ny), jnp.float32)
             self._rows = self._cols = None
             X, Y = self.wcs.pixel_grid()  # (h_ss, w_ss) each
             img_x = X.reshape(-1)
             img_y = Y.reshape(-1)
+            self.n_live_pix = int(nx) * int(ny)
         else:
             img_region = np.asarray(sim_config.pix_region).astype(bool)
             self.img_region = jnp.asarray(img_region.astype(np.float32))
@@ -93,9 +98,9 @@ class LensSimulator(gmodel.VersionedAttrs):
             self._rows = jnp.asarray(rows)
             self._cols = jnp.asarray(cols)
             img_x, img_y = self.wcs.pix2angle(cols, rows)
+            self.n_live_pix = int(np.count_nonzero(img_region))
         self.img_x = jnp.asarray(img_x, jnp.float32)  # (npix,)
         self.img_y = jnp.asarray(img_y, jnp.float32)
-        self.n_live_pix = int(np.count_nonzero(np.asarray(self.img_region)))
 
         # ---- linear (lstsq) component count ------------------------------
         self.depth = sum(x.depth for x in phys_model.lens_light) + sum(
@@ -136,18 +141,27 @@ class LensSimulator(gmodel.VersionedAttrs):
                 pool=self.supersample if mode in ("dft", "dft_hi") else 1,
             )
 
-        # ---- fused Pallas render (EPL+Shear + 2x SersicEllipse on TPU) -----
+        # ---- fused Pallas render -----------------------------------------
+        # two tiers: the hand-tuned benchmark kernel for its exact
+        # [EPL|SIE, Shear] + Sersic pattern (residual-saving backward), and
+        # the composable kernel builder (ops/pallas/fused_builder.py) for
+        # every other supported composition (shapelets, SIS, CoreSersic,
+        # lstsq component stacks, baked constants)
         self._fused_niter = self._detect_fused_pattern(phys_model)
+        self._fused_spec = None
+        if self._fused_niter is None:
+            from gigalens_tpu.ops.pallas import fused_builder
+
+            self._fused_spec = fused_builder.build_spec(phys_model)
         use_fused = sim_config.use_fused_render
+        fusable = self._fused_niter is not None or self._fused_spec is not None
         if use_fused is None:
             import jax
 
             # 2.1x faster MAP steps than the XLA path on v5e (in-process A/B);
             # gradients direction-exact (cosine > 0.999998 vs exact-atan2 XLA)
-            use_fused = (
-                self._fused_niter is not None and jax.default_backend() == "tpu"
-            )
-        self._use_fused = bool(use_fused) and self._fused_niter is not None
+            use_fused = fusable and jax.default_backend() == "tpu"
+        self._use_fused = bool(use_fused) and fusable
 
     @staticmethod
     def _detect_fused_pattern(phys_model):
@@ -340,6 +354,42 @@ class LensSimulator(gmodel.VersionedAttrs):
         dummy_ll = len(self.phys_model.lens_light) == 0
         if (
             self._use_fused
+            and self._fused_spec is not None
+            and not no_deflection
+            and isinstance(params, dict)
+            and all(
+                k in params
+                for k, profs in (
+                    ("lens_mass", self.phys_model.lenses),
+                    ("lens_light", self.phys_model.lens_light),
+                    ("source_light", self.phys_model.source_light),
+                )
+                if profs
+            )
+            and (
+                (stack_components and self._fused_spec.all_lstsq)
+                or (not stack_components and not self._fused_spec.any_lstsq)
+            )
+        ):
+            from gigalens_tpu.ops.pallas import fused_builder
+
+            spec = self._fused_spec
+            interp = jax.default_backend() != "tpu"
+            packed = spec.pack(params)
+            npix = self.img_x.shape[0]
+            if stack_components:
+                out = fused_builder.fused_render_components(
+                    packed, self.img_x, self.img_y, spec, interp
+                )
+                return jnp.broadcast_to(out, (spec.depth, self.bs, npix))
+            out = fused_builder.fused_render_sum(
+                packed, self.img_x, self.img_y, spec, interp
+            )
+            return jnp.broadcast_to(out, (self.bs, npix))
+
+        if (
+            self._use_fused
+            and self._fused_niter is not None
             and not stack_components
             and not no_deflection
             and isinstance(params, dict)
@@ -461,6 +511,7 @@ class LensSimulator(gmodel.VersionedAttrs):
         view = copy.copy(self)
         view.phys_model = sub
         view._use_fused = False
+        view._fused_spec = None
         flat = view._flat_light(params, no_deflection=no_deflection)
         return jnp.squeeze(self._postprocess(self._place(flat)))
 

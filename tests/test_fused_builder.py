@@ -1,0 +1,223 @@
+"""Composable fused-render builder vs the unfused XLA path (interpret mode).
+
+The builder (ops/pallas/fused_builder.py) must reproduce the unfused
+profile-by-profile render — values AND parameter gradients — for every
+supported composition, including the patterns the specialized benchmark
+kernel refuses (shapelet sources, SIS deflectors, baked constants, lstsq
+component stacks). Reference behavioral counterpart: the unfused chain in
+``src/gigalens/jax/simulator.py:96-130`` and the stacked lstsq render at
+``:150-191``.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gigalens_tpu import PhysicalModel, SimulatorConfig
+from gigalens_tpu.ops.pallas import fused_builder as fb
+from gigalens_tpu.profiles.light.sersic import CoreSersic, Sersic, SersicEllipse
+from gigalens_tpu.profiles.light.shapelets import Shapelets
+from gigalens_tpu.profiles.mass.epl import EPL
+from gigalens_tpu.profiles.mass.shear import Shear
+from gigalens_tpu.profiles.mass.sie import SIE, SIS
+from gigalens_tpu.simulator import LensSimulator
+
+BS = 5
+NPIX = 300
+
+
+def _rand_params(phys, bs, rng):
+    out = {"lens_mass": [], "lens_light": [], "source_light": []}
+    groups = [
+        ("lens_mass", phys.lenses, phys.lenses_constants),
+        ("lens_light", phys.lens_light, phys.lens_light_constants),
+        ("source_light", phys.source_light, phys.source_light_constants),
+    ]
+    for g, profs, consts in groups:
+        for prof, cc in zip(profs, consts):
+            d = {}
+            for name in prof.params:
+                if name in cc:
+                    continue
+                if name in ("theta_E", "R_sersic"):
+                    v = rng.uniform(0.5, 1.5, bs)
+                elif name == "beta":
+                    v = rng.uniform(0.15, 0.35, bs)
+                elif name == "gamma" and g == "lens_mass":
+                    v = rng.uniform(1.8, 2.2, bs)
+                elif name in ("e1", "e2", "gamma1", "gamma2"):
+                    v = rng.uniform(-0.2, 0.2, bs)
+                elif name == "n_sersic":
+                    v = rng.uniform(1.0, 4.0, bs)
+                elif name == "Rb":
+                    v = rng.uniform(0.05, 0.2, bs)
+                elif name == "alpha":
+                    v = rng.uniform(1.5, 3.0, bs)
+                elif name == "Ie":
+                    v = rng.uniform(50.0, 200.0, bs)
+                elif name.startswith("amp"):
+                    v = rng.uniform(-1.0, 1.0, bs)
+                else:
+                    v = rng.uniform(-0.3, 0.3, bs)
+                d[name] = jnp.asarray(v, jnp.float32)
+            out[g].append(d)
+    return out
+
+
+def _unfused_flat(phys, params, x, y, stacked=False):
+    bx, by = x, y
+    for lens, p, c in zip(phys.lenses, params["lens_mass"], phys.lenses_constants):
+        fx, fy = lens.deriv(x, y, **{k: v[..., None] for k, v in p.items()}, **c)
+        bx, by = bx - fx, by - fy
+    vals = []
+    for prof, p, c in zip(phys.lens_light, params["lens_light"],
+                          phys.lens_light_constants):
+        vals.append(prof.light(x, y, **{k: v[..., None] for k, v in p.items()}, **c))
+    for prof, p, c in zip(phys.source_light, params["source_light"],
+                          phys.source_light_constants):
+        vals.append(prof.light(bx, by, **{k: v[..., None] for k, v in p.items()}, **c))
+    if stacked:
+        bs = next(iter(params["lens_mass"][0].values())).shape[0]
+        return jnp.concatenate(
+            [jnp.broadcast_to(v, (v.shape[0], bs, x.shape[0])) for v in vals], 0
+        )
+    return sum(vals)
+
+
+MODELS = {
+    "legacy_pattern": lambda: PhysicalModel(
+        [EPL(18), Shear()], [SersicEllipse()], [SersicEllipse()]),
+    "sie_sersic_shapelets": lambda: PhysicalModel(
+        [SIE(), Shear()], [Sersic()], [Shapelets(4)]),
+    "shapelet_source_only": lambda: PhysicalModel(
+        [EPL(18), Shear()], [], [Shapelets(5)]),
+    "sis_coresersic": lambda: PhysicalModel(
+        [SIS()], [CoreSersic()], [SersicEllipse()]),
+    "baked_constant_gamma": lambda: PhysicalModel(
+        [EPL(18), Shear()], [SersicEllipse()], [SersicEllipse()],
+        lenses_constants=[dict(gamma=2.0), {}]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(MODELS))
+def test_sum_matches_unfused(name):
+    phys = MODELS[name]()
+    spec = fb.build_spec(phys)
+    assert spec is not None
+    rng = np.random.default_rng(0)
+    params = _rand_params(phys, BS, rng)
+    x = jnp.asarray(rng.uniform(-2, 2, NPIX), jnp.float32)
+    y = jnp.asarray(rng.uniform(-2, 2, NPIX), jnp.float32)
+    got = fb.fused_render_sum(spec.pack(params), x, y, spec, True)
+    want = _unfused_flat(phys, params, x, y)
+    scale = float(jnp.max(jnp.abs(want)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5 * scale, rtol=0)
+
+
+@pytest.mark.parametrize("name", sorted(MODELS))
+def test_grad_matches_unfused(name):
+    phys = MODELS[name]()
+    spec = fb.build_spec(phys)
+    rng = np.random.default_rng(1)
+    params = _rand_params(phys, BS, rng)
+    x = jnp.asarray(rng.uniform(-2, 2, NPIX), jnp.float32)
+    y = jnp.asarray(rng.uniform(-2, 2, NPIX), jnp.float32)
+
+    # a LINEAR functional of the render: a nonlinear one (e.g. sin) of
+    # O(100) brightness values would amplify f32 ulp differences between
+    # the two evaluation orders into O(1) gradient chaos
+    ct = jnp.asarray(rng.normal(size=(BS, NPIX)), jnp.float32)
+    g_fused = jax.grad(
+        lambda pk: jnp.sum(ct * fb.fused_render_sum(pk, x, y, spec, True))
+    )(spec.pack(params))
+    g_ref = jax.grad(
+        lambda pr: jnp.sum(ct * _unfused_flat(phys, pr, x, y))
+    )(params)
+    cols, mask = [], []
+    for s in spec.pack_cols:
+        if isinstance(s, tuple):
+            g, i, nm = s
+            cols.append(jnp.reshape(g_ref[g][i][nm], (-1,)))
+            mask.append(1.0)
+        else:
+            cols.append(jnp.zeros(BS))
+            mask.append(0.0)  # constant column: fused grad is discarded by pack
+    g_ref_m = jnp.stack(cols, -1)
+    mask = jnp.asarray(mask)
+    scale = float(jnp.max(jnp.abs(g_ref_m)))
+    np.testing.assert_allclose(
+        np.asarray(g_fused * mask), np.asarray(g_ref_m * mask),
+        atol=5e-5 * scale, rtol=0,
+    )
+
+
+def test_components_stacked_lstsq():
+    phys = PhysicalModel(
+        [EPL(18), Shear()], [SersicEllipse(use_lstsq=True)],
+        [Shapelets(4, use_lstsq=True)],
+    )
+    spec = fb.build_spec(phys)
+    assert spec is not None and spec.all_lstsq and spec.depth == 16
+    rng = np.random.default_rng(2)
+    params = _rand_params(phys, BS, rng)
+    x = jnp.asarray(rng.uniform(-2, 2, NPIX), jnp.float32)
+    y = jnp.asarray(rng.uniform(-2, 2, NPIX), jnp.float32)
+    got = fb.fused_render_components(spec.pack(params), x, y, spec, True)
+    want = _unfused_flat(phys, params, x, y, stacked=True)
+    scale = float(jnp.max(jnp.abs(want)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5 * scale, rtol=0)
+    # gradients through the stacked render (the lstsq-HMC path)
+    ct = jnp.asarray(rng.normal(size=(spec.depth, BS, NPIX)), jnp.float32)
+    g_fused = jax.grad(lambda pk: jnp.sum(
+        ct * fb.fused_render_components(pk, x, y, spec, True)))(spec.pack(params))
+    g_ref = jax.grad(lambda pr: jnp.sum(
+        ct * _unfused_flat(phys, pr, x, y, stacked=True)))(params)
+    cols = [jnp.reshape(g_ref[s[0]][s[1]][s[2]], (-1,)) for s in spec.pack_cols]
+    g_ref_m = jnp.stack(cols, -1)
+    scale = float(jnp.max(jnp.abs(g_ref_m)))
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref_m),
+                               atol=3e-5 * scale, rtol=0)
+
+
+def test_unsupported_returns_none():
+    from gigalens_tpu.profiles.mass.nfw import NFW
+
+    assert fb.build_spec(PhysicalModel([NFW()], [], [SersicEllipse()])) is None
+    # mixed lstsq / sampled amplitudes stay unfused
+    assert fb.build_spec(PhysicalModel(
+        [EPL(18)], [SersicEllipse(use_lstsq=True)], [SersicEllipse()])) is None
+
+
+def test_simulator_dispatch_and_full_pipeline():
+    """End-to-end through LensSimulator: fused spec render == unfused render
+    after PSF + pooling, for both summed and lstsq modes."""
+    psf = np.ones((5, 5), np.float32) / 25.0
+    cfg_f = SimulatorConfig(delta_pix=0.065, num_pix=40, supersample=2,
+                            kernel=psf, use_fused_render=True)
+    cfg_u = dataclasses.replace(cfg_f, use_fused_render=False)
+    rng = np.random.default_rng(3)
+
+    phys = PhysicalModel([EPL(18), Shear()], [SersicEllipse()], [Shapelets(4)])
+    sf = LensSimulator(phys, cfg_f, bs=BS)
+    su = LensSimulator(phys, cfg_u, bs=BS)
+    assert sf._fused_spec is not None
+    params = _rand_params(phys, BS, rng)
+    a, b = sf.simulate(params), su.simulate(params)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=2e-4 * float(jnp.max(jnp.abs(b))), rtol=0)
+
+    phys2 = PhysicalModel([EPL(18), Shear()], [SersicEllipse(use_lstsq=True)],
+                          [Shapelets(4, use_lstsq=True)])
+    sf2 = LensSimulator(phys2, cfg_f, bs=BS)
+    su2 = LensSimulator(phys2, cfg_u, bs=BS)
+    params2 = _rand_params(phys2, BS, rng)
+    obs = np.abs(rng.normal(1, 0.5, (40, 40))).astype(np.float32)
+    err = np.full((40, 40), 0.1, np.float32)
+    a2 = sf2.lstsq_simulate(params2, obs, err)
+    b2 = su2.lstsq_simulate(params2, obs, err)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(b2),
+                               atol=5e-4 * float(jnp.max(jnp.abs(b2))), rtol=0)
