@@ -26,6 +26,7 @@ _X_MIN = 1e-6
 # sympy: F = 1/3 - 2/5 t + 13/35 t^2 - 20/63 t^3 + 61/231 t^4 (t = x-1);
 # g = (1 - log 2) + t/3 - t^2/30 - t^3/105 + 17 t^4/1260.
 _BRANCH_DELTA = 0.03
+_SMALL_X = 0.05
 _F_SERIES = (1 / 3, -2 / 5, 13 / 35, -20 / 63, 61 / 231)
 _G_SERIES = (0.30685281944005469, 1 / 3, -1 / 30, -1 / 105, 17 / 1260)
 
@@ -38,15 +39,27 @@ def _horner(t, coeffs):
 
 
 def _nfw_g(x):
-    """g(x) such that alpha = 4 rho0 Rs g(x)/x * x_hat; g(1) = 1 + log(1/2)."""
+    """g(x) such that alpha = 4 rho0 Rs g(x)/x * x_hat; g(1) = 1 + log(1/2).
+
+    Two series regions: around the x = 1 branch point (closed forms cancel),
+    and x -> 0 where ``log(x/2) + arccosh(1/x)/sqrt(1-x^2)`` cancels
+    catastrophically in float32 (both terms ~ |log x| while g ~ x^2 |log x|;
+    relative error blows up ~1/x^2). The small-x expansion
+    g = x^2 (L/2 - 1/4) + x^4 (3L/8 - 7/32) + O(x^6 L), L = log(2/x),
+    is exact to f32 below x = 0.05."""
     x = jnp.maximum(x, _X_MIN)
     near = jnp.abs(x - 1.0) < _BRANCH_DELTA
+    small = x < _SMALL_X
     x_lo = jnp.where(x < 1, x, 0.5)  # safe input for the x<1 branch
     x_hi = jnp.where(x > 1, x, 2.0)  # safe input for the x>1 branch
     lo = jnp.log(x / 2.0) + jnp.arccosh(1.0 / x_lo) / jnp.sqrt(1.0 - x_lo**2)
     hi = jnp.log(x / 2.0) + jnp.arccos(1.0 / x_hi) / jnp.sqrt(x_hi**2 - 1.0)
     series = _horner(x - 1.0, _G_SERIES)
-    return jnp.where(near, series, jnp.where(x < 1, lo, hi))
+    L = jnp.log(2.0 / x)
+    small_series = x**2 * (0.5 * L - 0.25) + x**4 * (0.375 * L - 7.0 / 32.0)
+    return jnp.where(
+        small, small_series, jnp.where(near, series, jnp.where(x < 1, lo, hi))
+    )
 
 
 def _nfw_h(x):

@@ -374,18 +374,20 @@ class LensSimulator(gmodel.VersionedAttrs):
             from gigalens_tpu.ops.pallas import fused_builder
 
             spec = self._fused_spec
-            interp = jax.default_backend() != "tpu"
-            packed = spec.pack(params)
-            npix = self.img_x.shape[0]
-            if stack_components:
-                out = fused_builder.fused_render_components(
-                    packed, self.img_x, self.img_y, spec, interp
+            extras = spec.gather_extras(self.img_x, self.img_y)
+            if extras is not None:  # None: a stage's grids aren't ready yet
+                interp = jax.default_backend() != "tpu"
+                packed = spec.pack(params)
+                npix = self.img_x.shape[0]
+                if stack_components:
+                    out = fused_builder.fused_render_components(
+                        packed, self.img_x, self.img_y, extras, spec, interp
+                    )
+                    return jnp.broadcast_to(out, (spec.depth, self.bs, npix))
+                out = fused_builder.fused_render_sum(
+                    packed, self.img_x, self.img_y, extras, spec, interp
                 )
-                return jnp.broadcast_to(out, (spec.depth, self.bs, npix))
-            out = fused_builder.fused_render_sum(
-                packed, self.img_x, self.img_y, spec, interp
-            )
-            return jnp.broadcast_to(out, (self.bs, npix))
+                return jnp.broadcast_to(out, (self.bs, npix))
 
         if (
             self._use_fused

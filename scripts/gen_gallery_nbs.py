@@ -76,8 +76,13 @@ MAP → SVI → HMC; `--smc` samples with tempered SMC instead). See
 acceleration.
 """),
     PY("""
+import os
 import time
-import jax, jax.numpy as jnp, numpy as np, optax
+
+import jax
+if os.environ.get("GIGALENS_NB_PLATFORM"):  # CI executes gallery runs on CPU
+    jax.config.update("jax_platforms", os.environ["GIGALENS_NB_PLATFORM"])
+import jax.numpy as jnp, numpy as np, optax
 
 from gigalens_tpu import PhysicalModel, SimulatorConfig
 from gigalens_tpu.inference import ModellingSequence
@@ -207,8 +212,8 @@ SMC for). Both are one call:
 # res = seq.HMC(q, n_hmc=50, num_burnin_steps=500, num_results=750)
 
 # Tempered SMC (multimodal-robust; start=None also estimates log-evidence):
-res = seq.SMC(start=z_map, num_particles=256, num_ensembles=1,
-              num_leapfrog_steps=10, post_sampling_steps=50,
+res = seq.SMC(start=z_map, num_particles=128, num_ensembles=1,
+              num_leapfrog_steps=5, post_sampling_steps=30,
               target="pixels+positions" if kw else "pixels",
               auxiliar="none", seed=1)
 pts = res.particles.reshape(-1, res.particles.shape[-1])
@@ -251,8 +256,13 @@ analytically**, so MAP/HMC run over lens parameters only. Script twin:
 `examples/demo_inversion.py`; design notes: `docs/inversion.md`.
 """),
     PY("""
+import os
 import time
-import jax, jax.numpy as jnp, numpy as np, optax
+
+import jax
+if os.environ.get("GIGALENS_NB_PLATFORM"):  # CI executes gallery runs on CPU
+    jax.config.update("jax_platforms", os.environ["GIGALENS_NB_PLATFORM"])
+import jax.numpy as jnp, numpy as np, optax
 
 from gigalens_tpu import PhysicalModel, SimulatorConfig
 from gigalens_tpu.inference import ModellingSequence
@@ -412,8 +422,13 @@ structured source as a **Gauss–Hermite shapelet expansion**
 functions — enough for clumpy, multi-component sources.
 """),
     PY("""
+import os
 import time
-import jax, jax.numpy as jnp, numpy as np, optax
+
+import jax
+if os.environ.get("GIGALENS_NB_PLATFORM"):  # CI executes gallery runs on CPU
+    jax.config.update("jax_platforms", os.environ["GIGALENS_NB_PLATFORM"])
+import jax.numpy as jnp, numpy as np, optax
 
 from gigalens_tpu import PhysicalModel, SimulatorConfig
 from gigalens_tpu.inference import ModellingSequence

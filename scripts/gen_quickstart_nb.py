@@ -44,7 +44,12 @@ HMC → diagnostics), TPU-native. This notebook mirrors the reference's
 and `examples/demo_pipeline.py` for the script form.
 """),
     PY("""
-import jax, jax.numpy as jnp, numpy as np, optax
+import os
+
+import jax
+if os.environ.get("GIGALENS_NB_PLATFORM"):  # CI executes gallery runs on CPU
+    jax.config.update("jax_platforms", os.environ["GIGALENS_NB_PLATFORM"])
+import jax.numpy as jnp, numpy as np, optax
 
 from gigalens_tpu import PhysicalModel, SimulatorConfig
 from gigalens_tpu.inference import ModellingSequence
