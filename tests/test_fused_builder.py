@@ -292,3 +292,54 @@ def test_simulator_dispatch_and_full_pipeline():
     b2 = su2.lstsq_simulate(params2, obs, err)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(b2),
                                atol=5e-4 * float(jnp.max(jnp.abs(b2))), rtol=0)
+
+
+def test_cluster_scene_through_simulator():
+    """The flagship cluster composition — NFW_ELLIPSE halo + series-expanded
+    member population + shapelet source — renders fused after the member
+    precompute, matching the unfused path (reference counterpart:
+    ``scaling_relation.py:50-108`` + series kernels)."""
+    from gigalens_tpu.profiles.mass.dpie_subhalo import DPIESubhaloSeries
+    from gigalens_tpu.profiles.mass.nfw import NFW_ELLIPSE
+
+    rng = np.random.default_rng(7)
+    G = 12
+    catalogue = dict(
+        lum=rng.uniform(0.3, 3.0, G).astype(np.float32),
+        center_x=rng.normal(0, 8.0, G).astype(np.float32),
+        center_y=rng.normal(0, 8.0, G).astype(np.float32),
+        e1=rng.uniform(-0.2, 0.2, G).astype(np.float32),
+        e2=rng.uniform(-0.2, 0.2, G).astype(np.float32),
+    )
+    members = DPIESubhaloSeries(lum_star=1.0, galaxy_catalogue=catalogue,
+                                chunk_size=G)
+    phys = PhysicalModel([NFW_ELLIPSE(), members], [], [Shapelets(3)])
+    cfg_f = SimulatorConfig(delta_pix=0.2, num_pix=32, supersample=2,
+                            use_fused_render=True)
+    cfg_u = dataclasses.replace(cfg_f, use_fused_render=False)
+    sf = LensSimulator(phys, cfg_f, bs=BS)
+    su = LensSimulator(phys, cfg_u, bs=BS)
+    assert sf._fused_spec is not None and len(sf._fused_spec.extra_providers) == 1
+
+    params = _rand_params(phys, BS, rng)
+    params["lens_mass"][1] = dict(
+        theta_E=jnp.asarray(rng.uniform(0.2, 0.4, BS), jnp.float32),
+        r_cut=jnp.asarray(rng.uniform(1.2, 1.8, BS), jnp.float32),
+    )
+    members.set_constants(dict(theta_E=0.3, r_core=0.08, r_cut=1.5))
+    # before precompute the provider returns None -> unfused (exact) fallback
+    assert sf._fused_spec.gather_extras(sf.img_x, sf.img_y) is None
+    a0 = sf.simulate(params)
+
+    members.set_grid(sf.img_x, sf.img_y)
+    members.set_deriv()
+    assert sf._fused_spec.gather_extras(sf.img_x, sf.img_y) is not None
+
+    a = sf.simulate(params)
+    b = su.simulate(params)
+    scale = float(jnp.max(jnp.abs(b)))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-3 * scale, rtol=0)
+    # the pre-precompute (unfused-fallback) render agrees too
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(b),
+                               atol=1e-3 * scale, rtol=0)
