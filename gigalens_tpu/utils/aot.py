@@ -76,6 +76,29 @@ def cache_dir() -> pathlib.Path:
     return pathlib.Path(base) / "export"
 
 
+def store_dir() -> pathlib.Path:
+    """Git-tracked artifact store, the read-only second lookup tier.
+
+    ``cache_dir`` lives under ``.jax_cache/`` which is gitignored, so a
+    fresh container (the driver's benchmark environment) always starts
+    cold. Artifacts published here (``scripts/publish_aot.py``) ship with
+    the repo; the content-addressed keys (package hash + jax/jaxlib
+    versions + platform + data fingerprints) make a stale hit impossible —
+    any code or data change produces a different file name.
+    """
+    default = pathlib.Path(__file__).resolve().parents[2] / "aot_store"
+    return pathlib.Path(os.environ.get("GIGALENS_AOT_STORE", str(default)))
+
+
+def _lookup(filename: str):
+    """Return the first existing artifact path among the lookup tiers."""
+    for base in (cache_dir(), store_dir()):
+        p = base / filename
+        if p.exists():
+            return p
+    return None
+
+
 def enabled() -> bool:
     flag = os.environ.get("GIGALENS_AOT_CACHE", "1")
     if flag == "0":
@@ -198,6 +221,7 @@ class AOTProgram:
         return h.hexdigest()
 
     def _resolve(self, args):
+        import pickle
         import time as _time
 
         t0 = _time.time()
@@ -206,48 +230,113 @@ class AOTProgram:
             return jax.jit(self.fn)
         from jax import export as jexport
 
-        path = cache_dir() / f"{self.name}-{self._key(args)}.jaxexport"
-        if path.exists():
+        key = self._key(args)
+        exec_enabled = os.environ.get("GIGALENS_AOT_EXEC", "1") != "0"
+
+        # --- tier 1: serialized compiled executable --------------------
+        # skips Python tracing, lowering, AND the backend compile (on the
+        # axon tunnel the backend compile is a multi-second remote RPC per
+        # program and the persistent XLA cache does not cover it)
+        exec_path = exec_enabled and _lookup(f"{self.name}-{key}.jaxexec")
+        if exec_path:
+            try:
+                from jax.experimental import serialize_executable as se
+
+                payload = pickle.loads(exec_path.read_bytes())
+                # single-device contract: load against device 0 only — with
+                # the backend's full device list a multi-device process
+                # would build an N-device DeviceList and then demand
+                # N-sharded arguments for this 1-replica program
+                compiled = se.deserialize_and_load(
+                    *payload, execution_devices=jax.devices()[:1])
+                log.debug("aot: loaded executable %s", exec_path.name)
+                events.append(
+                    (self.name, "exec-hit", round(_time.time() - t0, 3)))
+                return _guarded_compiled(compiled, self.fn)
+            except Exception as e:  # plugin lacks support, version skew, ...
+                log.warning("aot: failed to load executable %s (%s)",
+                            exec_path.name, e)
+                events.append(
+                    (self.name, "exec-load-failed",
+                     round(_time.time() - t0, 3)))
+
+        # --- tier 2: exported StableHLO module -------------------------
+        # skips tracing + lowering (5-15 s for the phase programs); the
+        # backend compile still runs (persistently cached where supported)
+        exp = None
+        status = None
+        path = _lookup(f"{self.name}-{key}.jaxexport")
+        if path:
             try:
                 exp = _retrying_registration(
                     lambda: jexport.deserialize(path.read_bytes())
                 )
                 log.debug("aot: loaded %s", path.name)
-                events.append((self.name, "hit", round(_time.time() - t0, 3)))
-                return jax.jit(exp.call)
+                status = "hit"
             except Exception as e:  # version skew, corrupt file, ...
                 log.warning("aot: failed to load %s (%s); re-exporting",
                             path.name, e)
                 events.append(
                     (self.name, "load-failed", round(_time.time() - t0, 3))
                 )
-        jfn = jax.jit(self.fn)
-        try:
-            specs = jax.tree_util.tree_map(
-                lambda x: jax.ShapeDtypeStruct(
-                    jax.numpy.shape(x), jax.numpy.result_type(x)
-                ),
-                args,
-            )
-            exp = _retrying_registration(lambda: jexport.export(jfn)(*specs))
-            data = _retrying_registration(exp.serialize)
-            path.parent.mkdir(parents=True, exist_ok=True)
-            tmp = path.with_suffix(".tmp")
-            tmp.write_bytes(data)
-            os.replace(tmp, path)
-            log.debug("aot: exported %s (%.1f MB)", path.name, len(data) / 1e6)
-            events.append((self.name, "miss", round(_time.time() - t0, 3)))
-            # call through the module we just lowered for export — retracing
-            # via the plain jit path would pay Python tracing + lowering a
-            # second time (measured 5-15 s for the phase programs, the bulk
-            # of round 3's +15 s SVI regression on a cold export cache)
-            return jax.jit(exp.call)
-        except Exception as e:
-            log.warning("aot: export of %s failed (%s); plain jit", self.name, e)
-            events.append(
-                (self.name, "export-failed", round(_time.time() - t0, 3))
-            )
-        return jfn
+        specs = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(
+                jax.numpy.shape(x), jax.numpy.result_type(x)
+            ),
+            args,
+        )
+        if exp is None:
+            # --- tier 3: trace + lower + export ------------------------
+            jfn = jax.jit(self.fn)
+            try:
+                exp = _retrying_registration(lambda: jexport.export(jfn)(*specs))
+                data = _retrying_registration(exp.serialize)
+                wpath = cache_dir() / f"{self.name}-{key}.jaxexport"
+                wpath.parent.mkdir(parents=True, exist_ok=True)
+                tmp = wpath.with_suffix(".tmp")
+                tmp.write_bytes(data)
+                os.replace(tmp, wpath)
+                log.debug("aot: exported %s (%.1f MB)", wpath.name,
+                          len(data) / 1e6)
+                status = "miss"
+            except Exception as e:
+                log.warning("aot: export of %s failed (%s); plain jit",
+                            self.name, e)
+                events.append(
+                    (self.name, "export-failed", round(_time.time() - t0, 3))
+                )
+                return jfn
+        events.append((self.name, status, round(_time.time() - t0, 3)))
+
+        # call through the exported module — retracing via the plain jit
+        # path would pay Python tracing + lowering a second time (measured
+        # 5-15 s for the phase programs, the bulk of round 3's +15 s SVI
+        # regression on a cold export cache)
+        call_fn = jax.jit(exp.call)
+        if exec_enabled:
+            # opportunistically compile now (the first call would anyway)
+            # and serialize the executable so the NEXT process skips the
+            # backend compile too
+            try:
+                from jax.experimental import serialize_executable as se
+
+                compiled = call_fn.lower(*specs).compile()
+                payload = se.serialize(compiled)
+                wpath = cache_dir() / f"{self.name}-{key}.jaxexec"
+                wpath.parent.mkdir(parents=True, exist_ok=True)
+                tmp = wpath.with_suffix(".etmp")
+                tmp.write_bytes(pickle.dumps(payload))
+                os.replace(tmp, wpath)
+                log.debug("aot: wrote executable %s", wpath.name)
+                return _guarded_compiled(compiled, self.fn)
+            except Exception as e:
+                log.warning(
+                    "aot: executable serialization of %s unavailable (%s)",
+                    self.name, e)
+                events.append(
+                    (self.name, "exec-export-failed",
+                     round(_time.time() - t0, 3)))
+        return call_fn
 
     def __call__(self, *args):
         sig = _arg_signature(args)
@@ -255,6 +344,34 @@ class AOTProgram:
         if fn is None:
             fn = self._callables[sig] = self._resolve(args)
         return fn(*args)
+
+
+def _guarded_compiled(compiled, fn):
+    """Call an AOT ``Compiled``, falling back to plain jit on arg mismatch.
+
+    A Compiled is strict about argument avals (no weak-type promotion, no
+    re-canonicalization). The cache key pins shapes/dtypes, so a mismatch
+    should be impossible — but a silent crash deep in a benchmark is a bad
+    failure mode, so the first call is guarded.
+    """
+    state = {"ok": False, "fallback": None}
+
+    def call(*args):
+        if state["fallback"] is not None:
+            return state["fallback"](*args)
+        if state["ok"]:
+            return compiled(*args)
+        try:
+            out = compiled(*args)
+            state["ok"] = True
+            return out
+        except Exception as e:
+            log.warning("aot: compiled call rejected args (%s); plain jit", e)
+            events.append(("<compiled>", "exec-call-failed", 0.0))
+            state["fallback"] = jax.jit(fn)
+            return state["fallback"](*args)
+
+    return call
 
 
 def _fp_update(h, obj, seen, depth=0):

@@ -362,7 +362,7 @@ seq_pix = ModellingSequence(phys_lens, pix_model, cfg)
 # start every chain from the stage-1 lens parameters (+ jitter);
 # lam starts at its prior median
 d_lens, n_starts = 7, 8
-z1b = np.asarray(z1_best)
+z1b = np.asarray(z1_best).ravel()  # (d,): lens params lead the packing order
 rng2 = np.random.default_rng(1)
 lam_dist = prior_pix.tree["source_pixelated"][0]["lam"]
 z_lam0 = float(np.asarray(lam_dist.bijector.inverse(jnp.array(3.0))))
@@ -385,7 +385,7 @@ grid.
 """),
     PY("""
 sim2 = LensSimulator(phys_lens, cfg, bs=1)
-zb = jnp.asarray(np.asarray(seq_pix.best_map_start(z2)))[None]
+zb = jnp.asarray(np.asarray(seq_pix.best_map_start(z2)))  # already (1, d)
 x2 = pix_model.prior.constrain(zb)
 out = jax.jit(lambda p: pix_model.solve(sim2, p))(x2)
 print("joint red-chi2:", float(out["red_chi2"][0]))

@@ -82,6 +82,68 @@ def test_aot_program_roundtrip(tmp_path, monkeypatch):
     np.testing.assert_array_equal(y1, y2)
 
 
+def test_exec_tier_skips_export_load(tmp_path, monkeypatch):
+    """Tier-1 serialized executables bypass even StableHLO deserialization.
+
+    On the axon TPU tunnel the backend compile is a multi-second remote RPC
+    that the persistent XLA cache does not cover; the .jaxexec artifact is
+    what makes a fresh process skip it (measured on-device:
+    scripts/probe_serialize_exec.py)."""
+    monkeypatch.setenv("GIGALENS_JAX_CACHE", str(tmp_path))
+
+    def f(x):
+        return jnp.tanh(x) * 3.0
+
+    x = jnp.arange(6, dtype=jnp.float32)
+    y1 = np.asarray(aot.AOTProgram("t_exec", f, "d", enable=True)(x))
+    execs = list((tmp_path / "export").glob("t_exec-*.jaxexec"))
+    if not execs:  # backend without executable serialization support
+        pytest.skip("serialize_executable unsupported on this backend")
+
+    from jax import export as jexport
+
+    def boom(*a, **k):
+        raise AssertionError("export path used: exec tier was not hit")
+
+    monkeypatch.setattr(jexport, "deserialize", boom)
+    monkeypatch.setattr(jexport, "export", boom)
+    p2 = aot.AOTProgram("t_exec", f, "d", enable=True)
+    np.testing.assert_array_equal(y1, np.asarray(p2(x)))
+    assert aot.events[-1][:2] == ("t_exec", "exec-hit")
+
+
+def test_store_dir_fallback(tmp_path, monkeypatch):
+    """Artifacts published to the git-tracked store are found when the
+    working cache is cold (the driver's fresh-container scenario)."""
+    import shutil
+
+    cache = tmp_path / "cache"
+    store = tmp_path / "store"
+    monkeypatch.setenv("GIGALENS_JAX_CACHE", str(cache))
+    monkeypatch.setenv("GIGALENS_AOT_STORE", str(store))
+
+    def f(x):
+        return x * 2.0 + 1.0
+
+    x = jnp.ones((5,))
+    y1 = np.asarray(aot.AOTProgram("t_store", f, "d", enable=True)(x))
+    # "publish": move every artifact into the store, wipe the cache
+    store.mkdir()
+    for p in (cache / "export").glob("t_store-*"):
+        shutil.move(str(p), store / p.name)
+    shutil.rmtree(cache)
+
+    from jax import export as jexport
+
+    def boom(*a, **k):
+        raise AssertionError("re-export: store tier was not consulted")
+
+    monkeypatch.setattr(jexport, "export", boom)
+    p2 = aot.AOTProgram("t_store", f, "d", enable=True)
+    np.testing.assert_array_equal(y1, np.asarray(p2(x)))
+    assert aot.events[-1][1] in ("hit", "exec-hit")
+
+
 def test_aot_program_key_separates_descs(tmp_path, monkeypatch):
     monkeypatch.setenv("GIGALENS_JAX_CACHE", str(tmp_path))
 
