@@ -58,6 +58,13 @@ def main():
     from gigalens_tpu.utils import effective_sample_size, potential_scale_reduction
     from gigalens_tpu.utils import aot
 
+
+    def _aot_or_jit(name, fn, desc):
+        """AOT-cache a bench-side program; plain jit if unfingerprintable."""
+        if desc is None:
+            return jax.jit(fn)
+        return aot.aot_jit(name, fn, static_desc=desc)
+
     aot_log = []
 
     def drain_aot(phase):
@@ -157,7 +164,10 @@ def main():
     # unimplemented paths on the axon TPU backend)
     truth = prior.sample(jax.random.PRNGKey(42), 1)
     sim1 = LensSimulator(phys, sim_config, bs=1)
-    truth_img = np.asarray(jax.jit(sim1.simulate)(truth))
+    # AOT-cached: embeds the fused Pallas render, whose Mosaic compile can
+    # cost minutes on a degraded remote-compile service (BASELINE.md)
+    truth_img = np.asarray(
+        _aot_or_jit("bench_truth_sim", sim1.simulate, aot.phase_desc(sim1))(truth))
     rng = np.random.default_rng(1)
     bkg, exp_time = 0.2, 100.0
     obs = truth_img + rng.normal(size=truth_img.shape).astype(np.float32) * np.sqrt(
@@ -185,7 +195,8 @@ def main():
     t_map = time.time() - t0
     drain_aot("map")
     sim_b = LensSimulator(phys, sim_config, bs=z_map.shape[0])
-    lps, chi2 = jax.jit(lambda z: prob_model.log_prob(sim_b, z))(z_map)
+    lps, chi2 = _aot_or_jit("bench_score_map", lambda z: prob_model.log_prob(sim_b, z),
+                         aot.phase_desc(prob_model, sim_b))(z_map)
     best_chi2 = float(jnp.nanmin(chi2))
     log(f"MAP: {t_map:.1f}s best red-chi2 {best_chi2:.3f}")
 
@@ -307,7 +318,8 @@ def main():
     # hmc_wall_all_seeds extra records the full grouped wall)
     total = t_map + t_svi + t_hmc
     sim_p = LensSimulator(phys, sim_config, bs=post_samples.shape[0])
-    _, chi2_post = jax.jit(lambda z: prob_model.log_prob(sim_p, z))(post_samples)
+    _, chi2_post = _aot_or_jit("bench_score_post", lambda z: prob_model.log_prob(sim_p, z),
+                               aot.phase_desc(prob_model, sim_p))(post_samples)
     post_chi2 = float(jnp.mean(chi2_post))
     log(f"posterior mean red-chi2 {post_chi2:.3f}")
 
@@ -360,7 +372,11 @@ def main():
             return jnp.sum(lp)
 
         zb = prior.unconstrain(prior.sample(jax.random.PRNGKey(3), cfgs["vi_n"]))
-        gfn = jax.jit(jax.grad(_vg))
+        # AOT-cached like the phase programs: the fused render inside these
+        # probes is a Pallas kernel whose Mosaic compile can cost minutes on
+        # a degraded remote-compile service (BASELINE.md round-4 note)
+        gfn = _aot_or_jit("mfu_opt_grad", jax.grad(_vg),
+                           aot.phase_desc(prob_model, sim_g))
         jax.block_until_ready(gfn(zb))
         t0 = time.time()
         n_rep = 10
@@ -399,7 +415,8 @@ def main():
             return jnp.sum(lp)
 
         zh = prior.unconstrain(prior.sample(jax.random.PRNGKey(4), cfgs["hmc_n"]))
-        gfn_h = jax.jit(jax.grad(_vg_h))
+        gfn_h = _aot_or_jit("mfu_hmc_grad", jax.grad(_vg_h),
+                             aot.phase_desc(prob_model, sim_h))
         jax.block_until_ready(gfn_h(zh))
         t0 = time.time()
         for _ in range(n_rep):
