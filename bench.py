@@ -14,11 +14,19 @@ Prints ONE JSON line:
 ``vs_baseline`` is published-A100-seconds / ours when GIGALENS_BASELINE_S is
 set (the in-repo reference publishes no numbers — BASELINE.md); null otherwise.
 Scale down with GIGALENS_BENCH_SCALE=tiny|small for smoke testing.
+
+Fault isolation: every phase runs under ``run_phase`` — a phase failure is
+recorded (``failed_phases`` in the JSON) and the remaining phases still run
+where their inputs exist, so one fault can never zero a whole round's
+scoreboard again (the round-4 lesson: grouped HMC faulted and the finished
+MAP/SVI measurements died with the process). The grouped-HMC path falls
+back to serial per-seed runs before giving up.
 """
 import json
 import os
 import sys
 import time
+import traceback
 
 import numpy as np
 
@@ -27,21 +35,37 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+failures = []
+
+
+def run_phase(phase_name, primary, *fallbacks):
+    """Run ``primary()``; on exception, try fallbacks; record all failures.
+
+    Returns the first successful path's result, or None if every path
+    failed. Each entry of ``fallbacks`` is a (label, thunk) pair.
+    """
+    for label, fn in [("primary", primary)] + list(fallbacks):
+        try:
+            return fn()
+        except Exception as e:
+            tb = traceback.format_exc(limit=8)
+            log(f"PHASE {phase_name} [{label}] FAILED:\n{tb}")
+            failures.append(dict(
+                phase=phase_name, path=label,
+                error=f"{type(e).__name__}: {str(e)[:500]}"))
+    return None
+
+
 def main():
     import jax
 
-    # Persistent XLA compilation cache: axon remote compiles take minutes per
-    # program; cached executables make reruns reflect steady-state cost.
-    cache_dir = os.environ.get("GIGALENS_JAX_CACHE", "/root/repo/.jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache EVERY compile: on the axon tunnel even a trivial op pays a
-        # ~0.4 s remote-compile round trip, and a pipeline run dispatches
-        # dozens of small utility programs around the big phase programs —
-        # persisting them all turns that tax into ~ms disk hits on reruns
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    except Exception as e:  # older jax without the flags
-        log(f"compilation cache unavailable: {e}")
+    # Persistent XLA compilation cache, segregated per host: cache entries
+    # embed XLA:CPU AOT code for the caching machine's CPU features, and the
+    # working tree persists across rounds while the machine changes — the
+    # round-4 crash loaded another host's code (BASELINE.md root-cause note)
+    from gigalens_tpu.utils.aot import setup_compilation_cache
+
+    setup_compilation_cache()
 
     import jax.numpy as jnp
     import optax
@@ -95,6 +119,34 @@ def main():
         ]
 
     log(f"devices: {jax.devices()}  scale={scale}")
+
+    # Results accumulator: phases fill it in as they complete, so the final
+    # JSON reflects everything measured even when a later phase fails.
+    R = {
+        "metric": "map_svi_hmc_wallclock",
+        "value": None,
+        "unit": "s",
+        "vs_baseline": None,
+        "phase_s": {},
+        "seeds": [],
+        "aot": aot_log,
+        "scale": scale,
+        "device": str(jax.devices()[0]),
+    }
+
+    def emit():
+        """Print the single JSON scoreboard line (partial on failures)."""
+        if failures:
+            R["failed_phases"] = failures
+        R["complete"] = not failures
+        if R["value"] is None and R["phase_s"]:
+            # honest partial total: sum of completed phase walls, flagged
+            # by complete=false / failed_phases above
+            R["value"] = round(sum(R["phase_s"].values()), 2)
+        baseline_s = os.environ.get("GIGALENS_BASELINE_S")
+        if baseline_s and R["value"]:
+            R["vs_baseline"] = float(baseline_s) / R["value"]
+        print(json.dumps(R))
 
     prior = Prior(
         dict(
@@ -180,68 +232,103 @@ def main():
     t_start = time.time()
 
     # ---- MAP ----------------------------------------------------------
-    t0 = time.time()
-    schedule = optax.polynomial_schedule(-1e-2, -1e-2 / 3, 0.5, cfgs["map_steps"])
-    opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(schedule))
-    # one dispatch per phase: the axon tunnel charges ~1.5 s for the first
-    # dispatch of a program at each new call site (scripts/bench_svi_segments
-    # measured 300 SVI steps at 23.9 s with 10 segment dispatches vs 12.6 s
-    # with one, steady-state 8.7 s either way), so segmenting a phase that
-    # fits comfortably under the tunnel's multi-minute execution cap only
-    # adds overhead
-    z_map = seq.MAP(opt, n_samples=cfgs["map_n"], num_steps=cfgs["map_steps"],
-                    seed=0)
-    jax.block_until_ready(z_map)
-    t_map = time.time() - t0
-    drain_aot("map")
-    sim_b = LensSimulator(phys, sim_config, bs=z_map.shape[0])
-    lps, chi2 = _aot_or_jit("bench_score_map", lambda z: prob_model.log_prob(sim_b, z),
-                         aot.phase_desc(prob_model, sim_b))(z_map)
-    best_chi2 = float(jnp.nanmin(chi2))
-    log(f"MAP: {t_map:.1f}s best red-chi2 {best_chi2:.3f}")
+    def phase_map():
+        t0 = time.time()
+        schedule = optax.polynomial_schedule(
+            -1e-2, -1e-2 / 3, 0.5, cfgs["map_steps"])
+        opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(schedule))
+        # one dispatch per phase: the axon tunnel charges ~1.5 s for the first
+        # dispatch of a program at each new call site (scripts/bench_svi_segments
+        # measured 300 SVI steps at 23.9 s with 10 segment dispatches vs 12.6 s
+        # with one, steady-state 8.7 s either way), so segmenting a phase that
+        # fits comfortably under the tunnel's multi-minute execution cap only
+        # adds overhead
+        z_map = seq.MAP(opt, n_samples=cfgs["map_n"],
+                        num_steps=cfgs["map_steps"], seed=0)
+        jax.block_until_ready(z_map)
+        t_map = time.time() - t0
+        drain_aot("map")
+        sim_b = LensSimulator(phys, sim_config, bs=z_map.shape[0])
+        lps, chi2 = _aot_or_jit(
+            "bench_score_map", lambda z: prob_model.log_prob(sim_b, z),
+            aot.phase_desc(prob_model, sim_b))(z_map)
+        best_chi2 = float(jnp.nanmin(chi2))
+        log(f"MAP: {t_map:.1f}s best red-chi2 {best_chi2:.3f}")
+        return dict(z_map=z_map, t_map=t_map, lps=lps, best_chi2=best_chi2)
+
+    map_out = run_phase("map", phase_map)
+    if map_out is None:
+        emit()
+        return
+    R["phase_s"]["map"] = round(map_out["t_map"], 2)
+    R["best_map_red_chi2"] = round(map_out["best_chi2"], 4)
 
     # ---- SVI ----------------------------------------------------------
     # Laplace-initialized covariance (counted inside the SVI phase wall):
     # seeds the surrogate with the curvature at the MAP, cutting the step
     # budget ~5x at equal-or-better preconditioner quality
-    t0 = time.time()
-    best = z_map[jnp.argmax(jnp.nan_to_num(lps, nan=-jnp.inf))][None, :]
-    laplace_method = os.environ.get("GIGALENS_LAPLACE_METHOD", "fd")
-    L0 = seq.laplace_scale_tril(best, method=laplace_method)
-    jax.block_until_ready(L0)
-    t_laplace = time.time() - t0
-    log(f"laplace init: {t_laplace:.1f}s")
-    schedule = optax.polynomial_schedule(-1e-6, -3e-3, 2, max(cfgs["vi_steps"] // 5, 1))
-    opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(schedule))
-    q_z, losses = seq.SVI(best, opt, n_vi=cfgs["vi_n"], num_steps=cfgs["vi_steps"],
-                          init_scales=np.asarray(L0), seed=1)
-    jax.block_until_ready(losses)
-    t_svi = time.time() - t0
-    log(f"SVI: {t_svi:.1f}s elbo {float(losses[0]):.1f} -> {float(losses[-1]):.1f}")
-    drain_aot("svi")
+    def phase_svi():
+        t0 = time.time()
+        best = map_out["z_map"][
+            jnp.argmax(jnp.nan_to_num(map_out["lps"], nan=-jnp.inf))][None, :]
+        laplace_method = os.environ.get("GIGALENS_LAPLACE_METHOD", "fd")
+        L0 = seq.laplace_scale_tril(best, method=laplace_method)
+        jax.block_until_ready(L0)
+        t_laplace = time.time() - t0
+        log(f"laplace init: {t_laplace:.1f}s")
+        schedule = optax.polynomial_schedule(
+            -1e-6, -3e-3, 2, max(cfgs["vi_steps"] // 5, 1))
+        opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(schedule))
+        q_z, losses = seq.SVI(best, opt, n_vi=cfgs["vi_n"],
+                              num_steps=cfgs["vi_steps"],
+                              init_scales=np.asarray(L0), seed=1)
+        jax.block_until_ready(losses)
+        t_svi = time.time() - t0
+        log(f"SVI: {t_svi:.1f}s elbo {float(losses[0]):.1f} -> "
+            f"{float(losses[-1]):.1f}")
+        drain_aot("svi")
+        return dict(q_z=q_z, t_svi=t_svi, t_laplace=t_laplace)
+
+    svi_out = run_phase("svi", phase_svi)
+    if svi_out is None:
+        emit()
+        return
+    q_z = svi_out["q_z"]
+    R["phase_s"]["svi"] = round(svi_out["t_svi"], 2)
+    R["laplace_s"] = round(svi_out["t_laplace"], 2)
 
     # ---- HMC ----------------------------------------------------------
     # >= 3 seeds at full scale: min-ESS has ~2x seed-to-seed spread
     # (BASELINE.md "Pallas DFT" section), so a single draw of ESS/sec is not
     # a stable headline number — report the per-seed list and the median.
-    # All seeds run as ONE grouped device program (fit_hmc seeds=...): each
-    # seed is an independently-initialized, independently-adapting group of
-    # hmc_n chains, but the posterior gradient evaluates the whole
-    # G*hmc_n batch together. Per-chain gradient cost is ~flat in batch
-    # size (BASELINE.md), so G replicas cost ~1x — one compile, one run.
-    # The per-posterior (per-seed) cost is the grouped wall / G; both that
-    # and the total grouped wall are reported.
+    # Serial per-seed runs are the DEFAULT: the round-5 on-chip A/B
+    # (BASELINE.md "Grouped vs serial") measured grouped 3x50 at 41.8 s/seed
+    # amortized with max rhat 1.082 / minESS 1740 on its worst group, vs
+    # serial 36.3 s median per seed at max rhat 1.005 / minESS 8079 — the
+    # round-4 "per-chain gradient cost is ~flat in batch size" extrapolation
+    # does not hold at 150 chains (8.89 vs 2.58 ms/leapfrog), so grouping
+    # same-posterior replicas loses on wall AND quality. GIGALENS_HMC_GROUPED=1
+    # opts back in (grouped remains the right tool for SURVEY mode, where the
+    # groups are different posteriors and the alternative is G separate
+    # compiles). Grouped dispatches are segmented (GIGALENS_HMC_SEGMENT,
+    # default 250 steps): one monolithic 1000-step scan at 150 chains is
+    # ~100 s of device time in a single dispatch, which trips the axon
+    # tunnel's per-dispatch execution cap — the round-4 benchmark crash
+    # (root-cause note in BASELINE.md).
     hmc_seeds = list(cfgs["hmc_seeds"])
-    grouped = len(hmc_seeds) > 1 and os.environ.get(
-        "GIGALENS_HMC_GROUPED", "1") != "0"
-    seed_rows = []
-    if grouped:
+    grouped_pref = len(hmc_seeds) > 1 and os.environ.get(
+        "GIGALENS_HMC_GROUPED", "0") == "1"
+
+    hmc_segment = int(os.environ.get("GIGALENS_HMC_SEGMENT", "250"))
+
+    def hmc_grouped():
         G, C = len(hmc_seeds), cfgs["hmc_n"]
+        seed_rows = []
         t0 = time.time()
         res = seq.HMC(
             q_z, n_hmc=C,
             num_burnin_steps=cfgs["burnin"], num_results=cfgs["results"],
-            seeds=hmc_seeds,
+            seeds=hmc_seeds, segment_steps=hmc_segment,
         )
         jax.block_until_ready(res.samples)
         t_wall = time.time() - t0
@@ -270,13 +357,13 @@ def main():
             f"({t_wall / max(nlf, 1) * 1e3:.2f} ms/lf at {G * C} chains)"
         )
         # headline quality from the last group's samples
-        last = res.samples[:, (G - 1) * C:]
-        ess = np.asarray(effective_sample_size(last))
-        rhat = np.asarray(potential_scale_reduction(last))
-        accept = accept_all
-        post_samples = res.samples[-1]
-        hmc_wall_all = t_wall
-    else:
+        return dict(seed_rows=seed_rows, quality_samples=res.samples[:, (G - 1) * C:],
+                    accept=accept_all, post_samples=res.samples[-1],
+                    hmc_wall_all=t_wall, grouped=True)
+
+    def hmc_serial():
+        seed_rows = []
+        res = None
         for hmc_seed in hmc_seeds:
             t0 = time.time()
             res = seq.HMC(
@@ -302,26 +389,46 @@ def main():
                 f"max rhat {rhat.max():.3f} leapfrogs {nlf} "
                 f"({t_hmc / max(nlf, 1) * 1e3:.2f} ms/lf)"
             )
-        # headline quality numbers from the last run (its samples are in hand)
-        ess = np.asarray(effective_sample_size(res.samples))
-        rhat = np.asarray(potential_scale_reduction(res.samples))
-        accept = seed_rows[-1]["accept"]
-        post_samples = res.samples[-1]
-        hmc_wall_all = float(np.sum([r["t"] for r in seed_rows]))
+        return dict(seed_rows=seed_rows, quality_samples=res.samples,
+                    accept=seed_rows[-1]["accept"], post_samples=res.samples[-1],
+                    hmc_wall_all=float(np.sum([r["t"] for r in seed_rows])),
+                    grouped=False)
 
+    if grouped_pref:
+        # the serial path is the fallback: it is the round-1..3 production
+        # configuration with three rounds of on-chip history behind it
+        hmc_out = run_phase("hmc", hmc_grouped, ("serial-fallback", hmc_serial))
+    else:
+        hmc_out = run_phase("hmc", hmc_serial)
     drain_aot("hmc")
+    if hmc_out is None:
+        emit()
+        return
+    seed_rows = hmc_out["seed_rows"]
+    grouped = hmc_out["grouped"]
+    accept = hmc_out["accept"]
+    post_samples = hmc_out["post_samples"]
+    hmc_wall_all = hmc_out["hmc_wall_all"]
+    ess = np.asarray(effective_sample_size(hmc_out["quality_samples"]))
+    rhat = np.asarray(potential_scale_reduction(hmc_out["quality_samples"]))
     t_hmc = float(np.median([r["t"] for r in seed_rows]))
     ess_per_sec_median = float(np.median([r["ess_per_sec"] for r in seed_rows]))
 
     # pipeline total = MAP + SVI + median per-seed HMC cost (one posterior
     # run; in grouped mode that is the grouped wall / n_seeds — the
     # hmc_wall_all_seeds extra records the full grouped wall)
-    total = t_map + t_svi + t_hmc
-    sim_p = LensSimulator(phys, sim_config, bs=post_samples.shape[0])
-    _, chi2_post = _aot_or_jit("bench_score_post", lambda z: prob_model.log_prob(sim_p, z),
-                               aot.phase_desc(prob_model, sim_p))(post_samples)
-    post_chi2 = float(jnp.mean(chi2_post))
-    log(f"posterior mean red-chi2 {post_chi2:.3f}")
+    total = map_out["t_map"] + svi_out["t_svi"] + t_hmc
+
+    def phase_post_chi2():
+        sim_p = LensSimulator(phys, sim_config, bs=post_samples.shape[0])
+        _, chi2_post = _aot_or_jit(
+            "bench_score_post", lambda z: prob_model.log_prob(sim_p, z),
+            aot.phase_desc(prob_model, sim_p))(post_samples)
+        post_chi2 = float(jnp.mean(chi2_post))
+        log(f"posterior mean red-chi2 {post_chi2:.3f}")
+        return post_chi2
+
+    post_chi2 = run_phase("posterior_chi2", phase_post_chi2)
 
     # ---- MFU / roofline ------------------------------------------------
     # XLA's own static flop count for the hot compiled programs, divided by
@@ -432,16 +539,8 @@ def main():
     except Exception as e:
         log(f"MFU probe failed: {e}")
 
-    baseline_s = os.environ.get("GIGALENS_BASELINE_S")
-    vs = float(baseline_s) / total if baseline_s else None
-
-    print(json.dumps({
-        "metric": "map_svi_hmc_wallclock",
+    R.update({
         "value": round(total, 2),
-        "unit": "s",
-        "vs_baseline": vs,
-        "phase_s": {"map": round(t_map, 2), "svi": round(t_svi, 2), "hmc": round(t_hmc, 2)},
-        "laplace_s": round(t_laplace, 2),
         "ess_per_sec": round(float(ess.min()) / seed_rows[-1]["t"], 2),
         "ess_per_sec_median": round(ess_per_sec_median, 2),
         "seeds": [
@@ -450,19 +549,29 @@ def main():
         ],
         "hmc_grouped": grouped,
         "hmc_wall_all_seeds": round(hmc_wall_all, 2),
-        "aot": aot_log,
         "min_ess": round(float(ess.min()), 1),
         "max_rhat": round(float(rhat.max()), 4),
-        "best_map_red_chi2": round(best_chi2, 4),
-        "posterior_red_chi2": round(post_chi2, 4),
         "accept_rate": round(accept, 3),
         "mfu": mfu,
         "peak_flops": peak,
         "peak_bytes_per_s": peak_bw,
-        "scale": scale,
-        "device": str(jax.devices()[0]),
-    }))
+    })
+    R["phase_s"]["hmc"] = round(t_hmc, 2)
+    if post_chi2 is not None:
+        R["posterior_red_chi2"] = round(post_chi2, 4)
+    emit()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception:
+        # last-ditch isolation: even a setup failure emits a parseable line
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "map_svi_hmc_wallclock", "value": None, "unit": "s",
+            "vs_baseline": None, "complete": False,
+            "failed_phases": failures + [dict(
+                phase="setup", path="primary",
+                error=traceback.format_exc(limit=4)[-500:])],
+        }))

@@ -34,10 +34,8 @@ import jax
 if args.cpu:
     jax.config.update("jax_platforms", "cpu")
 else:
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.join(_REPO_ROOT, ".jax_cache")
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from gigalens_tpu.utils.aot import setup_compilation_cache
+    setup_compilation_cache()
 
 import jax.numpy as jnp
 import optax

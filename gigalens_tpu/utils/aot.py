@@ -25,6 +25,19 @@ hashes, conservatively:
 Anything not captured by those (e.g. out-of-package monkeypatching) is on
 the caller; set ``GIGALENS_AOT_CACHE=0`` to fall back to plain jit.
 
+Serialized EXECUTABLES (the ``.jaxexec`` tier) additionally bake in
+host-specific state — XLA:CPU AOT code for this machine's CPU features and
+the loading runtime's version — so their filenames carry
+:func:`host_fingerprint` and they are only ever loaded from the local
+working cache, never from the git-tracked store (which would also mean
+unpickling unreviewable binary blobs from the repo). Even then the key
+cannot be *proven* exhaustive, so the first call through a deserialized
+executable is a synchronous canary (``_guarded_compiled``): any fault falls
+back to a fresh backend compile of the portable export. The round-4
+benchmark crash (BASELINE.md) is the motivating incident: the working tree
+persists across rounds while the host machine changes, so a gitignored
+cache directory is NOT host-private.
+
 Enabled by default only on single-device TPU processes (the benchmark
 environment); multi-device meshes keep the plain jit path (export pins
 shardings, and the CPU dryrun fabricates device counts per process).
@@ -59,6 +72,47 @@ def drain_events():
 
 
 @functools.lru_cache(maxsize=1)
+def host_fingerprint() -> str:
+    """Fingerprint of everything host-specific a compiled EXECUTABLE bakes in.
+
+    A serialized executable (tier 1, and the XLA persistent compilation
+    cache) embeds XLA:CPU AOT code compiled for THIS machine's CPU features;
+    loading it on a host with a different feature set is at best a loud
+    warning and at worst SIGILL (observed: the round-4 driver benchmark —
+    the repo's working tree persists across rounds while the host machine
+    changes, so a gitignored cache is NOT host-private). StableHLO exports
+    (tier 2) are host-portable and do NOT include this fingerprint.
+
+    Covers: CPU feature flags (/proc/cpuinfo), platform, jaxlib and libtpu
+    versions (the runtime that loads the executable), and compile-affecting
+    configuration (XLA_FLAGS, x64, default matmul precision).
+    """
+    import platform
+
+    h = hashlib.sha256()
+    try:
+        for line in pathlib.Path("/proc/cpuinfo").read_text().splitlines():
+            if line.startswith("flags"):
+                h.update(" ".join(sorted(line.split()[2:])).encode())
+                break
+    except OSError:
+        h.update(platform.processor().encode())
+    h.update(platform.machine().encode())
+    h.update(platform.system().encode())
+    import importlib.metadata as _im
+
+    for dist in ("jaxlib", "libtpu", "libtpu-nightly"):
+        try:
+            h.update(f"{dist}={_im.version(dist)}".encode())
+        except Exception:
+            h.update(f"{dist}=?".encode())
+    h.update(os.environ.get("XLA_FLAGS", "").encode())
+    h.update(str(jax.config.jax_enable_x64).encode())
+    h.update(str(jax.config.jax_default_matmul_precision).encode())
+    return h.hexdigest()[:16]
+
+
+@functools.lru_cache(maxsize=1)
 def package_fingerprint() -> str:
     """Content hash of every .py file in the installed gigalens_tpu package."""
     import gigalens_tpu
@@ -71,28 +125,70 @@ def package_fingerprint() -> str:
     return h.hexdigest()
 
 
+def cache_base() -> pathlib.Path:
+    default = pathlib.Path(__file__).resolve().parents[2] / ".jax_cache"
+    return pathlib.Path(os.environ.get("GIGALENS_JAX_CACHE", str(default)))
+
+
 def cache_dir() -> pathlib.Path:
-    base = os.environ.get("GIGALENS_JAX_CACHE", "/root/repo/.jax_cache")
-    return pathlib.Path(base) / "export"
+    return cache_base() / "export"
+
+
+def setup_compilation_cache(base=None) -> pathlib.Path:
+    """Enable the persistent XLA compilation cache, segregated per host.
+
+    XLA cache entries embed XLA:CPU AOT host code compiled for the caching
+    machine's CPU features — the same hazard as the ``.jaxexec`` tier (and
+    part of the same round-4 incident: ``cpu_aot_loader`` served
+    feature-mismatched code to a different host sharing the filesystem).
+    The directory is suffixed with :func:`host_fingerprint` so a different
+    machine starts cold instead of loading incompatible code.
+
+    Also sets ``jax_persistent_cache_min_compile_time_secs=0``: on the axon
+    tunnel even a trivial op pays a ~0.4 s remote-compile round trip, and a
+    pipeline run dispatches dozens of small utility programs — persisting
+    them all turns that tax into ~ms disk hits on reruns.
+    """
+    path = pathlib.Path(base) if base else cache_base()
+    path = path / ("xla-" + host_fingerprint()[:12])
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception as e:  # pragma: no cover - older jax without the flags
+        log.warning("persistent compilation cache unavailable: %s", e)
+    return path
 
 
 def store_dir() -> pathlib.Path:
     """Git-tracked artifact store, the read-only second lookup tier.
 
     ``cache_dir`` lives under ``.jax_cache/`` which is gitignored, so a
-    fresh container (the driver's benchmark environment) always starts
-    cold. Artifacts published here (``scripts/publish_aot.py``) ship with
-    the repo; the content-addressed keys (package hash + jax/jaxlib
-    versions + platform + data fingerprints) make a stale hit impossible —
-    any code or data change produces a different file name.
+    fresh clone always starts cold. Artifacts published here
+    (``scripts/publish_aot.py``) ship with the repo. Trust model: the store
+    serves ONLY ``.jaxexport`` StableHLO modules — host-portable, no pickle,
+    deserialized by jax.export's versioned format — never ``.jaxexec``
+    executables (pickle blobs; see :func:`_lookup`). The content-addressed
+    keys (package hash + jax/jaxlib versions + platform + data
+    fingerprints) make a stale hit *unlikely*, not impossible — anything
+    the key does not capture (e.g. out-of-package monkeypatching) is on
+    the publisher, which is why the executable tier gets the stronger
+    host-fingerprint + canary treatment.
     """
     default = pathlib.Path(__file__).resolve().parents[2] / "aot_store"
     return pathlib.Path(os.environ.get("GIGALENS_AOT_STORE", str(default)))
 
 
-def _lookup(filename: str):
-    """Return the first existing artifact path among the lookup tiers."""
-    for base in (cache_dir(), store_dir()):
+def _lookup(filename: str, cache_only: bool = False):
+    """Return the first existing artifact path among the lookup tiers.
+
+    ``cache_only`` restricts the search to the working cache — used for
+    ``.jaxexec`` executables, which are (a) pickle blobs (loading one from
+    the git-tracked store would execute unreviewable binary content) and
+    (b) host-specific (see :func:`host_fingerprint`). Only portable,
+    pickle-free StableHLO exports are ever served from the store tier.
+    """
+    tiers = (cache_dir(),) if cache_only else (cache_dir(), store_dir())
+    for base in tiers:
         p = base / filename
         if p.exists():
             return p
@@ -205,13 +301,25 @@ class AOTProgram:
         self._callables = {}  # arg signature -> callable
 
     def _key(self, args) -> str:
+        """Portability-tier key: everything a StableHLO EXPORT depends on.
+
+        Host-specific state (CPU features, libtpu/runtime versions, compile
+        flags) is deliberately NOT here — exports are host-portable; the
+        executable tier appends :func:`host_fingerprint` to its filename.
+        """
+        import importlib.metadata as _im
+
+        try:
+            jaxlib_ver = _im.version("jaxlib")
+        except Exception:  # pragma: no cover - jaxlib always installed
+            jaxlib_ver = getattr(jax.lib, "__version__", "")
         h = hashlib.sha256()
         for part in (
             self.name,
             self.static_desc,
             package_fingerprint(),
             jax.__version__,
-            getattr(jax.lib, "__version__", ""),
+            jaxlib_ver,
             jax.default_backend(),
             str(jax.devices()[0].device_kind),
             _arg_signature(args),
@@ -220,7 +328,7 @@ class AOTProgram:
             h.update(b"\0")
         return h.hexdigest()
 
-    def _resolve(self, args):
+    def _resolve(self, args, skip_exec: bool = False):
         import pickle
         import time as _time
 
@@ -231,13 +339,19 @@ class AOTProgram:
         from jax import export as jexport
 
         key = self._key(args)
-        exec_enabled = os.environ.get("GIGALENS_AOT_EXEC", "1") != "0"
+        exec_enabled = (not skip_exec and
+                        os.environ.get("GIGALENS_AOT_EXEC", "1") != "0")
 
         # --- tier 1: serialized compiled executable --------------------
         # skips Python tracing, lowering, AND the backend compile (on the
         # axon tunnel the backend compile is a multi-second remote RPC per
-        # program and the persistent XLA cache does not cover it)
-        exec_path = exec_enabled and _lookup(f"{self.name}-{key}.jaxexec")
+        # program and the persistent XLA cache does not cover it).
+        # Working-cache only (never the git-tracked store: pickle), and the
+        # filename carries the host fingerprint — an executable compiled on
+        # a machine with different CPU features / runtime versions is
+        # unreachable, not merely warned about (round-4 crash root cause).
+        exec_path = exec_enabled and _lookup(
+            f"{self.name}-{key}-{host_fingerprint()}.jaxexec", cache_only=True)
         if exec_path:
             try:
                 from jax.experimental import serialize_executable as se
@@ -252,7 +366,13 @@ class AOTProgram:
                 log.debug("aot: loaded executable %s", exec_path.name)
                 events.append(
                     (self.name, "exec-hit", round(_time.time() - t0, 3)))
-                return _guarded_compiled(compiled, self.fn)
+                # canary contract: the first call through the guard is made
+                # synchronous, and any fault falls back to tier 2 (a fresh
+                # backend compile of the exported module) — a deserialized
+                # executable is never trusted with a whole phase sight-unseen
+                return _guarded_compiled(
+                    compiled, self.fn,
+                    fallback=lambda: self._resolve(args, skip_exec=True))
             except Exception as e:  # plugin lacks support, version skew, ...
                 log.warning("aot: failed to load executable %s (%s)",
                             exec_path.name, e)
@@ -315,27 +435,40 @@ class AOTProgram:
         call_fn = jax.jit(exp.call)
         if exec_enabled:
             # opportunistically compile now (the first call would anyway)
-            # and serialize the executable so the NEXT process skips the
-            # backend compile too
+            # and serialize the executable so the NEXT process on THIS host
+            # skips the backend compile too
+            compiled = None
             try:
-                from jax.experimental import serialize_executable as se
-
                 compiled = call_fn.lower(*specs).compile()
-                payload = se.serialize(compiled)
-                wpath = cache_dir() / f"{self.name}-{key}.jaxexec"
-                wpath.parent.mkdir(parents=True, exist_ok=True)
-                tmp = wpath.with_suffix(".etmp")
-                tmp.write_bytes(pickle.dumps(payload))
-                os.replace(tmp, wpath)
-                log.debug("aot: wrote executable %s", wpath.name)
-                return _guarded_compiled(compiled, self.fn)
             except Exception as e:
-                log.warning(
-                    "aot: executable serialization of %s unavailable (%s)",
-                    self.name, e)
+                log.warning("aot: AOT compile of %s failed (%s)",
+                            self.name, e)
                 events.append(
                     (self.name, "exec-export-failed",
                      round(_time.time() - t0, 3)))
+            if compiled is not None:
+                # serialize/write failure must not discard the finished
+                # compile: jit dispatch would pay the backend compile again
+                try:
+                    from jax.experimental import serialize_executable as se
+
+                    payload = se.serialize(compiled)
+                    wpath = cache_dir() / (
+                        f"{self.name}-{key}-{host_fingerprint()}.jaxexec")
+                    wpath.parent.mkdir(parents=True, exist_ok=True)
+                    tmp = wpath.with_suffix(".etmp")
+                    tmp.write_bytes(pickle.dumps(payload))
+                    os.replace(tmp, wpath)
+                    log.debug("aot: wrote executable %s", wpath.name)
+                except Exception as e:
+                    log.warning(
+                        "aot: executable serialization of %s unavailable (%s)",
+                        self.name, e)
+                    events.append(
+                        (self.name, "exec-export-failed",
+                         round(_time.time() - t0, 3)))
+                return _guarded_compiled(compiled, self.fn,
+                                         fallback=lambda: call_fn)
         return call_fn
 
     def __call__(self, *args):
@@ -346,13 +479,21 @@ class AOTProgram:
         return fn(*args)
 
 
-def _guarded_compiled(compiled, fn):
-    """Call an AOT ``Compiled``, falling back to plain jit on arg mismatch.
+def _guarded_compiled(compiled, fn, fallback=None):
+    """Call an AOT ``Compiled`` with a synchronous first-call canary.
 
     A Compiled is strict about argument avals (no weak-type promotion, no
-    re-canonicalization). The cache key pins shapes/dtypes, so a mismatch
-    should be impossible — but a silent crash deep in a benchmark is a bad
-    failure mode, so the first call is guarded.
+    re-canonicalization), and a deserialized executable can additionally
+    fault the DEVICE at run time (e.g. host-incompatible embedded CPU code —
+    the round-4 benchmark crash). Device faults surface *asynchronously* at
+    a later ``block_until_ready``, past any try/except here — so the first
+    call blocks on its results before they are released. After one clean
+    synchronous call the guard gets out of the way.
+
+    ``fallback`` is a zero-arg factory for the recovery path (tier-2
+    re-resolve for loaded executables, the already-jitted export call for
+    freshly compiled ones); plain ``jax.jit(fn)`` — a full retrace — is the
+    last resort.
     """
     state = {"ok": False, "fallback": None}
 
@@ -363,12 +504,15 @@ def _guarded_compiled(compiled, fn):
             return compiled(*args)
         try:
             out = compiled(*args)
+            jax.block_until_ready(out)  # canary: surface async device faults
             state["ok"] = True
             return out
         except Exception as e:
-            log.warning("aot: compiled call rejected args (%s); plain jit", e)
+            log.warning("aot: compiled first call failed (%s); falling back",
+                        e)
             events.append(("<compiled>", "exec-call-failed", 0.0))
-            state["fallback"] = jax.jit(fn)
+            state["fallback"] = (fallback() if fallback is not None
+                                 else jax.jit(fn))
             return state["fallback"](*args)
 
     return call
@@ -386,10 +530,20 @@ def _fp_update(h, obj, seen, depth=0):
         h.update(b"<cycle>")
         return
     seen.add(oid)
+    if isinstance(obj, jax.tree_util.PyTreeDef):
+        # str(PyTreeDef) is a stable structural description; np.asarray on
+        # one silently builds a 0-d OBJECT array whose tobytes() is a raw
+        # per-process pointer — that poisoned every phase program's cache
+        # key with fresh-process noise (observed: map_seg/svi_seg/hmc_seg
+        # missed on every benchmark run)
+        h.update(str(obj).encode())
+        return
     if isinstance(obj, (np.ndarray, np.generic)) or hasattr(obj, "__jax_array__") \
             or type(obj).__module__.startswith("jax"):
         try:
             a = np.asarray(obj)
+            if a.dtype.hasobject:
+                raise TypeError("object array is not content-hashable")
             h.update(str(a.shape).encode())
             h.update(str(a.dtype).encode())
             h.update(a.tobytes())

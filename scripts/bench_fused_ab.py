@@ -21,9 +21,7 @@ import sys
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+    from gigalens_tpu.utils.aot import setup_compilation_cache as _scc; _scc()
     import jax.numpy as jnp
     import numpy as np
 

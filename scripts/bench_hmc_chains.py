@@ -26,9 +26,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+    from gigalens_tpu.utils.aot import setup_compilation_cache as _scc; _scc()
     from __graft_entry__ import _demo_setup
     from gigalens_tpu import PhysicalModel
     from gigalens_tpu.model import ForwardProbModel

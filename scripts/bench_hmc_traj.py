@@ -29,9 +29,7 @@ import numpy as np
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
+    from gigalens_tpu.utils.aot import setup_compilation_cache as _scc; _scc()
     import jax.numpy as jnp
     import optax
 

@@ -1,12 +1,24 @@
 """Publish AOT artifacts from the working cache into the git-tracked store.
 
-The working cache (``.jax_cache/export``) is gitignored, so a fresh
-container — the driver's benchmark environment — starts cold. Copying the
-current artifacts into ``aot_store/`` (tracked) ships them with the repo;
-the content-addressed names (package hash + jax/jaxlib versions + platform
-+ closure-data fingerprints, see utils/aot.py) make a stale hit impossible.
+The working cache (``.jax_cache/export``) is gitignored, so a fresh clone
+starts cold. Copying the current artifacts into ``aot_store/`` (tracked)
+ships them with the repo.
 
-    python scripts/publish_aot.py          # copy new artifacts into aot_store/
+Only ``.jaxexport`` StableHLO modules are published: they are
+host-portable and deserialized through jax.export's versioned format.
+``.jaxexec`` executables stay in the working cache — they are pickle
+blobs (a git-tracked pickle is an arbitrary-code-execution vector, being
+unreviewable in diffs) AND host-specific (embedded XLA:CPU AOT code for
+the compiling machine's CPU features; loading on a different host caused
+the round-4 benchmark crash). ``aot._lookup`` enforces the same rule on
+the read side.
+
+The content-addressed names (package hash + jax/jaxlib versions +
+platform + closure-data fingerprints, see utils/aot.py) make a stale hit
+unlikely by construction; anything the key cannot see (out-of-package
+monkeypatching) is on the publisher.
+
+    python scripts/publish_aot.py          # copy new exports into aot_store/
     python scripts/publish_aot.py --prune  # also drop store files whose key no
                                            # longer matches any cache artifact
                                            # name (stale package fingerprints)
@@ -24,9 +36,7 @@ def main():
     src = aot.cache_dir()
     dst = aot.store_dir()
     dst.mkdir(parents=True, exist_ok=True)
-    fresh = sorted(
-        p for p in src.glob("*") if p.suffix in (".jaxexport", ".jaxexec")
-    )
+    fresh = sorted(p for p in src.glob("*.jaxexport"))
     copied = 0
     for p in fresh:
         target = dst / p.name
@@ -37,7 +47,7 @@ def main():
     if "--prune" in sys.argv:
         keep = {p.name for p in fresh}
         for p in sorted(dst.glob("*")):
-            if p.suffix in (".jaxexport", ".jaxexec") and p.name not in keep:
+            if p.name not in keep and p.name != "README.md":
                 p.unlink()
                 print(f"prune {p.name}")
     total = sum(p.stat().st_size for p in dst.glob("*"))

@@ -16,6 +16,14 @@ import jax.numpy as jnp
 from gigalens_tpu.utils import aot
 
 
+@pytest.fixture(autouse=True)
+def _isolated_store(tmp_path, monkeypatch):
+    """Point the store tier away from the repo's aot_store/ for every test:
+    a published artifact with a colliding name/key must never leak into test
+    runs (tests that exercise the store override this with their own dir)."""
+    monkeypatch.setenv("GIGALENS_AOT_STORE", str(tmp_path / "_no_store"))
+
+
 def _mk_opt(lr, steps):
     sched = optax.polynomial_schedule(-lr, -lr / 3, 0.5, steps)
     return optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(sched))
@@ -31,6 +39,30 @@ def test_fingerprint_sees_schedule_constants():
     a2 = aot.data_fingerprint(_mk_opt(1e-2, 100))
     assert a == a2
     assert a != b and a != c
+
+
+def test_fingerprint_treedef_is_process_stable():
+    """PyTreeDef must hash by structure, not by pointer: np.asarray on one
+    yields a 0-d object array whose tobytes() is a raw per-process address
+    (the bug that made every phase program miss its AOT cache every run)."""
+    td1 = jax.tree_util.tree_structure({"a": [1, 2], "b": {"c": 3}})
+    td2 = jax.tree_util.tree_structure({"a": [9, 9], "b": {"c": 0}})  # same
+    td3 = jax.tree_util.tree_structure({"a": [1, 2, 3]})  # different
+    assert aot.data_fingerprint(td1) == aot.data_fingerprint(td2)
+    assert aot.data_fingerprint(td1) != aot.data_fingerprint(td3)
+    # the hash must come from the structure string, not object identity
+    import subprocess, sys
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; sys.path.insert(0, %r);"
+        "from gigalens_tpu.utils import aot;"
+        "td = jax.tree_util.tree_structure({'a': [1, 2], 'b': {'c': 3}});"
+        "print(aot.data_fingerprint(td))"
+    ) % (str(__import__('pathlib').Path(__file__).resolve().parents[1]),)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == aot.data_fingerprint(td1)
 
 
 def test_fingerprint_sees_array_content():
@@ -110,6 +142,64 @@ def test_exec_tier_skips_export_load(tmp_path, monkeypatch):
     p2 = aot.AOTProgram("t_exec", f, "d", enable=True)
     np.testing.assert_array_equal(y1, np.asarray(p2(x)))
     assert aot.events[-1][:2] == ("t_exec", "exec-hit")
+
+
+def test_exec_tier_is_host_private(tmp_path, monkeypatch):
+    """An executable written by a different host (different CPU features /
+    runtime versions) must be unreachable: its filename carries the writing
+    host's fingerprint, so this host's lookup never finds it and resolves
+    through the portable export tier instead (round-4 crash defense)."""
+    monkeypatch.setenv("GIGALENS_JAX_CACHE", str(tmp_path))
+
+    def f(x):
+        return jnp.tanh(x) * 3.0
+
+    x = jnp.arange(6, dtype=jnp.float32)
+    y1 = np.asarray(aot.AOTProgram("t_host", f, "d", enable=True)(x))
+    execs = list((tmp_path / "export").glob("t_host-*.jaxexec"))
+    if not execs:
+        pytest.skip("serialize_executable unsupported on this backend")
+    assert aot.host_fingerprint() in execs[0].name
+    # simulate "this process runs on a different machine"
+    monkeypatch.setattr(aot, "host_fingerprint", lambda: "deadbeefdeadbeef")
+    p2 = aot.AOTProgram("t_host", f, "d", enable=True)
+    np.testing.assert_array_equal(y1, np.asarray(p2(x)))
+    statuses = [e[1] for e in aot.events if e[0] == "t_host"]
+    # resolved via the export tier (hit), not the foreign executable
+    assert statuses[-1] == "hit"
+
+
+def test_exec_never_loaded_from_store(tmp_path, monkeypatch):
+    """.jaxexec artifacts in the git-tracked store are ignored (pickle from
+    a repo is an arbitrary-code-execution vector; see _lookup)."""
+    import shutil
+
+    cache = tmp_path / "cache"
+    store = tmp_path / "store"
+    monkeypatch.setenv("GIGALENS_JAX_CACHE", str(cache))
+    monkeypatch.setenv("GIGALENS_AOT_STORE", str(store))
+
+    def f(x):
+        return x * 4.0 - 1.0
+
+    x = jnp.ones((3,))
+    y1 = np.asarray(aot.AOTProgram("t_sec", f, "d", enable=True)(x))
+    execs = list((cache / "export").glob("t_sec-*.jaxexec"))
+    if not execs:
+        pytest.skip("serialize_executable unsupported on this backend")
+    store.mkdir()
+    for p in (cache / "export").glob("t_sec-*"):
+        shutil.move(str(p), store / p.name)
+    shutil.rmtree(cache)
+
+    # poison-pill the store executable: if it were unpickled this would fail
+    # loudly (truncated payload); the contract is it is never even read
+    for p in store.glob("*.jaxexec"):
+        p.write_bytes(b"not a pickle")
+
+    p2 = aot.AOTProgram("t_sec", f, "d", enable=True)
+    np.testing.assert_array_equal(y1, np.asarray(p2(x)))
+    assert aot.events[-1][1] == "hit"  # export tier served it
 
 
 def test_store_dir_fallback(tmp_path, monkeypatch):
