@@ -192,7 +192,16 @@ def fit_svi(
             - half_log_2pi_d
         )
         lp_model, _ = prob_model.log_prob(simulator, z)
-        return jnp.mean(lp_q - lp_model)
+        val = lp_q - lp_model
+        # finite-draw masking: one pathological draw (a numerical cliff in a
+        # profile or likelihood term) must not NaN the whole fit — a mean is
+        # poisoned permanently through Adam state, unlike MAP's nan-robust
+        # per-sample selection or HMC's NaN -> reject. Masked draws simply
+        # contribute no gradient (identical to the plain mean when all draws
+        # are finite, which the other phases' NaN hygiene makes the norm).
+        finite = jnp.isfinite(val)
+        val = jnp.where(finite, val, 0.0)
+        return jnp.sum(val) / jnp.maximum(jnp.sum(finite), 1)
 
     from gigalens_tpu.utils import aot
 
@@ -390,7 +399,13 @@ def fit_svi_survey(
             - half_log_2pi_d
         )
         lp_model, _ = prob_model.log_prob(simulator, z)
-        per_scene = jnp.mean(lp_q - lp_model.reshape(S, n_vi), axis=1)  # (S,)
+        val = lp_q - lp_model.reshape(S, n_vi)
+        # finite-draw masking per scene (see fit_svi.elbo_loss): one bad draw
+        # must not NaN its scene's surrogate for the rest of the fit
+        finite = jnp.isfinite(val)
+        val = jnp.where(finite, val, 0.0)
+        per_scene = jnp.sum(val, axis=1) / jnp.maximum(
+            jnp.sum(finite, axis=1), 1)  # (S,)
         # sum of independent per-scene ELBO losses: each scene's surrogate
         # receives exactly the gradient of its own ELBO
         return jnp.sum(per_scene), per_scene

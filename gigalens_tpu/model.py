@@ -259,7 +259,16 @@ class ForwardProbModel(VersionedAttrs):
         if self.error_map is not None:
             err_map = self.error_map
         else:
-            err_map = jnp.sqrt(self.background_rms**2 + im_sim / self.exp_time)
+            # model-based Poisson term, clipped at zero flux: profiles with
+            # signed components (shapelets) can render pixels below
+            # -background_rms^2 * exp_time, where an unclipped variance goes
+            # negative and sqrt -> NaN poisons the whole posterior (caught by
+            # the cluster full-posterior bench). The reference clips its
+            # (observed-image) Poisson term the same way (jax/model.py:171).
+            err_map = jnp.sqrt(
+                self.background_rms**2
+                + jnp.clip(im_sim, 0.0, np.inf) / self.exp_time
+            )
         mask = simulator.img_region
         resid = (im_sim - self.observed_image) / err_map
         chi2 = jnp.sum(resid**2 * mask, axis=(-2, -1))
@@ -289,9 +298,20 @@ class ForwardProbModel(VersionedAttrs):
             beta_x, beta_y = simulator.beta(cx, cy, lens_params)  # (bs, n_img)
             beta = jnp.stack([beta_x, beta_y], axis=-2)  # (bs, 2, n_img)
             barycentre = jnp.mean(beta, axis=-1, keepdims=True)
-            magnifications = simulator.magnification(cx, cy, lens_params)
+            # err = centroid_err / |mu| = centroid_err * |det A|, computed
+            # from the Hessian WITHOUT ever forming mu = 1/det: a candidate
+            # lens putting a centroid on its critical curve has det = 0,
+            # where 1/det is inf and even clip(|1/det|) leaves a 0 * inf NaN
+            # in the backward pass. det itself is a finite polynomial of the
+            # deflection Hessian, so clamping |det| gives finite value AND
+            # gradient everywhere (the reference leaves this div-by-zero
+            # open: jax/model.py:92-114, simulator.py:86). Bounds are far
+            # outside any physical strong-lensing magnification.
+            f_xx, f_xy, f_yx, f_yy = simulator.hessian(cx, cy, lens_params)
+            det_a = (1 - f_xx) * (1 - f_yy) - f_xy * f_yx
+            det_abs = jnp.clip(jnp.abs(det_a), 1e-3, 1e3)
             err = jnp.stack(
-                [cex / magnifications, cey / magnifications], axis=-2
+                [cex * det_abs, cey * det_abs], axis=-2
             )  # (bs, 2, n_img)
             chi2_i = jnp.sum(((beta - barycentre) / err) ** 2, axis=(-2, -1))
             norm_i = jnp.sum(jnp.log(2 * np.pi * err**2), axis=(-2, -1))
@@ -335,7 +355,13 @@ class ForwardProbModel(VersionedAttrs):
         """
         cx, cy = self.centroids_x[0], self.centroids_y[0]
         lens_params = params["lens_mass"]
-        mu = jnp.abs(simulator.magnification(cx, cy, lens_params))  # (bs, n)
+        # |mu| from a clamped |det A|, never 1/det: a candidate putting an
+        # image on its critical curve otherwise yields inf flux and a NaN
+        # gradient through the clip (same 0*inf trap as stats_positions;
+        # high-magnification systems live close to this region by selection)
+        f_xx, f_xy, f_yx, f_yy = simulator.hessian(cx, cy, lens_params)
+        det_a = (1 - f_xx) * (1 - f_yy) - f_xy * f_yx
+        mu = 1.0 / jnp.clip(jnp.abs(det_a), 1e-3, 1e3)  # (bs, n)
         w = 1.0 / self.image_flux_errors**2
         amp = jnp.sum(w * self.image_fluxes * mu, axis=-1) / jnp.maximum(
             jnp.sum(w * mu * mu, axis=-1), 1e-20
@@ -525,7 +551,9 @@ class SurveyForwardProbModel(ForwardProbModel):
         else:
             bkg = jnp.reshape(self.background_rms, (-1, 1, 1, 1))  # (S or 1,1,1,1)
             exp_t = jnp.reshape(self.exp_time, (-1, 1, 1, 1))
-            err_map = jnp.sqrt(bkg**2 + im / exp_t)
+            # clip like ForwardProbModel.stats_pixels: signed-light profiles
+            # can drive the unclipped variance negative -> NaN
+            err_map = jnp.sqrt(bkg**2 + jnp.clip(im, 0.0, np.inf) / exp_t)
         mask = simulator.img_region
         resid = (im - obs) / err_map
         chi2 = jnp.sum(resid**2 * mask, axis=(-2, -1))  # (S, K)

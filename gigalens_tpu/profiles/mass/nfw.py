@@ -38,6 +38,24 @@ def _horner(t, coeffs):
     return acc
 
 
+def _branch_inputs(x):
+    """Branch-safe inputs for the two closed forms, clamped at the SERIES
+    window edges, not at x = 1.
+
+    Clamping only against the wrong side (``where(x < 1, x, 0.5)``) still
+    lets x within one f32 ulp of 1 reach the closed form, where ``1/x``
+    rounds to exactly 1.0 and ``arccosh/arccos`` differentiate to 1/0 = inf;
+    the selecting ``where`` zeroes that branch's cotangent, and 0 * inf = NaN
+    leaks through the backward pass (caught by the cluster posterior bench:
+    one SVI draw with the grid corner at R = Rs NaN'd the whole ELBO).
+    Since the series is always selected for |x-1| < delta, the closed forms'
+    inputs can be kept strictly outside the window, making both value AND
+    gradient finite everywhere."""
+    x_lo = jnp.where(x < 1.0 - _BRANCH_DELTA, x, 0.5)
+    x_hi = jnp.where(x > 1.0 + _BRANCH_DELTA, x, 2.0)
+    return x_lo, x_hi
+
+
 def _nfw_g(x):
     """g(x) such that alpha = 4 rho0 Rs g(x)/x * x_hat; g(1) = 1 + log(1/2).
 
@@ -50,8 +68,7 @@ def _nfw_g(x):
     x = jnp.maximum(x, _X_MIN)
     near = jnp.abs(x - 1.0) < _BRANCH_DELTA
     small = x < _SMALL_X
-    x_lo = jnp.where(x < 1, x, 0.5)  # safe input for the x<1 branch
-    x_hi = jnp.where(x > 1, x, 2.0)  # safe input for the x>1 branch
+    x_lo, x_hi = _branch_inputs(x)
     lo = jnp.log(x / 2.0) + jnp.arccosh(1.0 / x_lo) / jnp.sqrt(1.0 - x_lo**2)
     hi = jnp.log(x / 2.0) + jnp.arccos(1.0 / x_hi) / jnp.sqrt(x_hi**2 - 1.0)
     series = _horner(x - 1.0, _G_SERIES)
@@ -70,8 +87,7 @@ def _nfw_h(x):
     """
     x = jnp.maximum(x, _X_MIN)
     near = jnp.abs(x - 1.0) < _BRANCH_DELTA
-    x_lo = jnp.where(x < 1, x, 0.5)
-    x_hi = jnp.where(x > 1, x, 2.0)
+    x_lo, x_hi = _branch_inputs(x)
     lo = 0.5 * jnp.log(x / 2.0) ** 2 - 0.5 * jnp.arccosh(1.0 / x_lo) ** 2
     hi = 0.5 * jnp.log(x / 2.0) ** 2 + 0.5 * jnp.arccos(1.0 / x_hi) ** 2
     series = _horner(x - 1.0, _H_SERIES)
@@ -92,8 +108,7 @@ def _nfw_f(x):
     """F(x) = convergence shape function; F(1) = 1/3."""
     x = jnp.maximum(x, _X_MIN)
     near = jnp.abs(x - 1.0) < _BRANCH_DELTA
-    x_lo = jnp.where(x < 1, x, 0.5)
-    x_hi = jnp.where(x > 1, x, 2.0)
+    x_lo, x_hi = _branch_inputs(x)
     lo = (
         1.0
         / (x_lo**2 - 1.0)
@@ -190,8 +205,7 @@ class TNFW(MassProfile):
     def _F(cls, x):
         x = jnp.maximum(x, _X_MIN)
         near = jnp.abs(x - 1.0) < _BRANCH_DELTA
-        x_lo = jnp.where(x < 1, x, 0.5)
-        x_hi = jnp.where(x > 1, x, 2.0)
+        x_lo, x_hi = _branch_inputs(x)
         lo = jnp.arctanh(jnp.sqrt(1.0 - x_lo**2)) / jnp.sqrt(1.0 - x_lo**2)
         hi = jnp.arctan(jnp.sqrt(x_hi**2 - 1.0)) / jnp.sqrt(x_hi**2 - 1.0)
         series = _horner(x - 1.0, cls._F_SERIES)

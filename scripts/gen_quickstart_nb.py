@@ -164,6 +164,20 @@ sim_p = LensSimulator(phys, cfg, bs=res.samples.shape[1])
 _, chi2_post = jax.jit(lambda z: prob_model.log_prob(sim_p, z))(res.samples[-1])
 print("posterior mean reduced chi2:", float(jnp.mean(chi2_post)))  # ~1
 """),
+    PY("""
+# residual panel at a posterior sample — the reference's acceptance
+# evidence (jax-demo.ipynb cells 3-9): structureless +-3 sigma noise
+model_img = np.asarray(
+    jax.jit(sim_p.simulate)(prior.constrain(res.samples[-1])))[0]
+sigma = np.sqrt(bkg**2 + np.clip(model_img, 0, None) / exp_time)
+fig, axs = plt.subplots(1, 3, figsize=(12.5, 3.6), constrained_layout=True)
+for ax, im, title, kw in zip(
+        axs, [obs, model_img, (obs - model_img) / sigma],
+        ["observation", "posterior model", "residual / sigma"],
+        [{}, {}, dict(cmap="RdBu_r", vmin=-3, vmax=3)]):
+    h = ax.imshow(im, origin="lower", **kw)
+    ax.set_title(title); fig.colorbar(h, ax=ax, shrink=0.85)
+"""),
     MD("""
 ## Going further
 

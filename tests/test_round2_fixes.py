@@ -398,3 +398,140 @@ def test_best_start_ignores_nan_rows(demo_prior, demo_physmodel, small_sim_confi
     z[0, :] = np.nan  # a diverged start
     best = np.asarray(best_start(pm, sim, jnp.asarray(z)))
     assert np.all(np.isfinite(best)), "best_start returned a NaN row"
+
+
+# ------------------------------------------------- signed-light noise model
+def test_model_poisson_noise_clips_negative_pixels():
+    """Profiles with signed components (shapelets) can render pixels below
+    -background_rms^2 * exp_time; the model-based Poisson variance must clip
+    at zero flux or sqrt goes NaN and poisons the posterior (first caught at
+    full scale by scripts/bench_cluster_posterior.py, round 5). Reference
+    clips its Poisson term the same way (jax/model.py:171)."""
+    from gigalens_tpu.profiles.light.shapelets import Shapelets
+
+    sh = Shapelets(n_max=1)
+    prior = Prior(dict(
+        lens_mass=[dict(theta_E=gld.LogNormal(jnp.log(1.0), 0.1),
+                        center_x=gld.Normal(0, 0.05),
+                        center_y=gld.Normal(0, 0.05))],
+        source_light=[dict(
+            beta=gld.LogNormal(jnp.log(0.4), 0.1),
+            center_x=gld.Normal(0, 0.1), center_y=gld.Normal(0, 0.1),
+            **{a: gld.Normal(0, 500.0) for a in sh._amp_names},
+        )],
+    ))
+    from gigalens_tpu.profiles.mass.sie import SIS
+
+    phys = PhysicalModel([SIS()], [], [sh])
+    cfg = SimulatorConfig(delta_pix=0.2, num_pix=16, supersample=1)
+    sim = LensSimulator(phys, cfg, bs=4)
+    obs = np.zeros((16, 16), np.float32)
+    pm = ForwardProbModel(prior, obs, background_rms=0.1, exp_time=500.0)
+    # amps ~ N(0, 50): the rendered image has pixels far below
+    # -bkg^2*exp_time = -5, which used to NaN the variance
+    z = prior.unconstrain(prior.sample(jax.random.PRNGKey(0), 4))
+    x = prior.constrain(z)
+    img = np.asarray(sim.simulate(x))
+    assert img.min() < -5.0, "test scene must actually render negative flux"
+    lp, chi2 = pm.log_prob(sim, z)
+    assert np.isfinite(np.asarray(lp)).all()
+    assert np.isfinite(np.asarray(chi2)).all()
+    g = jax.grad(lambda zz: jnp.sum(pm.log_prob(sim, zz)[0]))(z)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_positions_likelihood_finite_at_critical_curve():
+    """A candidate lens that places an image centroid on its critical curve
+    sends |magnification| -> inf; unclamped, the position term's err -> 0
+    poisons mean-over-samples objectives (SVI elbo=nan, cluster posterior
+    bench round 5). The clamp keeps log_prob and its gradient finite."""
+    from gigalens_tpu.profiles.mass.sie import SIS
+
+    prior = Prior(dict(
+        lens_mass=[dict(theta_E=gld.LogNormal(0.0, 0.1),
+                        center_x=gld.Normal(0, 0.01),
+                        center_y=gld.Normal(0, 0.01))],
+        source_light=[dict(R_sersic=gld.LogNormal(jnp.log(0.3), 0.1),
+                           n_sersic=gld.Uniform(1, 2),
+                           e1=gld.Normal(0, 0.05), e2=gld.Normal(0, 0.05),
+                           center_x=gld.Normal(0, 0.1),
+                           center_y=gld.Normal(0, 0.1),
+                           Ie=gld.LogNormal(0.0, 0.2))],
+    ))
+    phys = PhysicalModel([SIS()], [], [SersicEllipse()])
+    cfg = SimulatorConfig(delta_pix=0.1, num_pix=20, supersample=1)
+    sim = LensSimulator(phys, cfg, bs=3)
+    obs = np.zeros((20, 20), np.float32)
+    # centroids on the unit circle: theta_E == 1 puts them exactly on the
+    # tangential critical curve of the SIS (det A = 0, |mu| = inf)
+    pm = ForwardProbModel(
+        prior, obs, background_rms=0.1, exp_time=100.0,
+        centroids_x=[np.array([1.0, -1.0], np.float32)],
+        centroids_y=[np.array([0.0, 0.0], np.float32)],
+        centroids_errors_x=[np.array([0.1, 0.1], np.float32)],
+        centroids_errors_y=[np.array([0.1, 0.1], np.float32)],
+    )
+    z = prior.unconstrain(dict(
+        lens_mass=[dict(theta_E=jnp.array([1.0, 0.9, 1.1]),
+                        center_x=jnp.zeros(3), center_y=jnp.zeros(3))],
+        source_light=[dict(R_sersic=jnp.full(3, 0.3), n_sersic=jnp.full(3, 1.5),
+                           e1=jnp.zeros(3), e2=jnp.zeros(3),
+                           center_x=jnp.zeros(3), center_y=jnp.zeros(3),
+                           Ie=jnp.ones(3))],
+    ))
+    lp, _ = pm.log_prob(sim, z)
+    assert np.isfinite(np.asarray(lp)).all()
+    g = jax.grad(lambda zz: jnp.sum(pm.log_prob(sim, zz)[0]))(z)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_nfw_gradient_finite_at_branch_seam():
+    """NFW special functions: gradient must be finite for x at/within one
+    f32 ulp of the x=1 branch point. Clamping branch inputs only against the
+    wrong side leaves 1/x rounding to exactly 1.0 inside the closed form,
+    whose arccosh/arccos derivative is 1/0 = inf -> 0*inf = NaN through the
+    selecting where's backward (found by the cluster posterior bench: a grid
+    corner at R = Rs NaN'd a whole SVI run)."""
+    from gigalens_tpu.profiles.mass import nfw as nfw_mod
+    from gigalens_tpu.profiles.mass.nfw import NFW, NFW_ELLIPSE, TNFW
+
+    one = np.float32(1.0)
+    below = np.nextafter(one, np.float32(0.0), dtype=np.float32)
+    above = np.nextafter(one, np.float32(2.0), dtype=np.float32)
+    xs = jnp.asarray([below, one, above, 0.97, 1.03, 0.5, 2.0, 1e-6])
+    # TNFW._F is only reached through TNFW._g's X_safe >= 0.05 clamp, so its
+    # own small-x behavior is out of contract — probe it at the seam only
+    xs_tnfw = xs[:-1]
+    for fn, pts in ((nfw_mod._nfw_g, xs), (nfw_mod._nfw_h, xs),
+                    (nfw_mod._nfw_f, xs), (lambda x: TNFW._F(x), xs_tnfw)):
+        v = fn(pts)
+        g = jax.vmap(jax.grad(lambda x: fn(x)))(pts)
+        assert np.isfinite(np.asarray(v)).all(), fn
+        assert np.isfinite(np.asarray(g)).all(), fn
+
+    # end-to-end: full param gradient of the elliptical deflection with a
+    # coordinate exactly at the stretched branch radius
+    prof = NFW_ELLIPSE()
+
+    def loss(p):
+        ax, ay = prof.deriv(jnp.asarray([6.048, 1.0, 0.1]),
+                            jnp.asarray([0.0, 0.0, 0.0]),
+                            Rs=p[0], alpha_Rs=p[1], e1=p[2], e2=p[3],
+                            center_x=p[4], center_y=p[5])
+        return jnp.sum(ax) + jnp.sum(ay)
+
+    # Rs chosen so one coordinate sits essentially on x = 1
+    p0 = jnp.asarray([6.048, 3.43, 0.0, 0.0, 0.0, 0.0])
+    g = jax.grad(loss)(p0)
+    assert np.isfinite(np.asarray(g)).all()
+    # and at exactly x == 1 for the spherical profile
+    prof_s = NFW()
+
+    def loss_s(p):
+        ax, ay = prof_s.deriv(jnp.asarray([p[0]]), jnp.asarray([0.0]),
+                              Rs=p[0], alpha_Rs=p[1],
+                              center_x=jnp.zeros(()), center_y=jnp.zeros(()))
+        return jnp.sum(ax) + jnp.sum(ay)
+
+    g = jax.grad(loss_s)(jnp.asarray([2.0, 1.0]))
+    assert np.isfinite(np.asarray(g)).all()
