@@ -21,9 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("GIGALENS_JAX_CACHE", "/root/repo/.jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+from gigalens_tpu.utils.aot import setup_compilation_cache as _scc; _scc()
 
 import dataclasses
 
@@ -137,7 +135,93 @@ def main():
                          bs=bs, grad_ms=round(ms, 3)))
         print(json.dumps(rows[-1]), flush=True)
 
-    for fam in {r["family"] for r in rows}:
+    # ---- family 3: NFW_ELLIPSE halo + Sersic pair (r4 builder stage) ----
+    from gigalens_tpu.profiles.mass.nfw import NFW_ELLIPSE
+
+    prior3 = Prior(dict(
+        lens_mass=[
+            dict(Rs=gld.LogNormal(jnp.log(10.0), 0.2),
+                 alpha_Rs=gld.LogNormal(jnp.log(4.0), 0.3),
+                 e1=gld.Normal(0, 0.1), e2=gld.Normal(0, 0.1),
+                 center_x=gld.Normal(0, 0.1), center_y=gld.Normal(0, 0.1)),
+            dict(gamma1=gld.Normal(0, 0.05), gamma2=gld.Normal(0, 0.05)),
+        ],
+        lens_light=prior.tree["lens_light"],
+        source_light=[dict(
+            R_sersic=gld.LogNormal(jnp.log(0.25), 0.15),
+            n_sersic=gld.Uniform(0.5, 4),
+            e1=gld.TruncatedNormal(0, 0.15, -0.5, 0.5),
+            e2=gld.TruncatedNormal(0, 0.15, -0.5, 0.5),
+            center_x=gld.Normal(0, 0.25), center_y=gld.Normal(0, 0.25),
+            Ie=gld.LogNormal(jnp.log(150.0), 0.5))],
+    ))
+    phys3 = PhysicalModel([NFW_ELLIPSE(), Shear()], [SersicEllipse()],
+                          [SersicEllipse()])
+    pm3 = ForwardProbModel(prior3, obs, background_rms=0.2, exp_time=100.0)
+    z3 = prior3.unconstrain(prior3.sample(jax.random.PRNGKey(2), bs))
+    for fused in (True, False):
+        cfg = SimulatorConfig(delta_pix=0.065, num_pix=80, supersample=2,
+                              kernel=psf, use_fused_render=fused)
+        sim3 = LensSimulator(phys3, cfg, bs=bs)
+        if fused:
+            assert sim3._fused_spec is not None
+        fn = jax.jit(jax.grad(lambda zz: jnp.sum(pm3.log_prob(sim3, zz)[0])))
+        ms = time_fn(fn, z3, reps)
+        rows.append(dict(family="nfw_ellipse_halo", fused=fused, bs=bs,
+                         grad_ms=round(ms, 3)))
+        print(json.dumps(rows[-1]), flush=True)
+
+    # ---- family 4: cluster series stack (r4 builder stage) --------------
+    from gigalens_tpu.profiles.light.shapelets import Shapelets as _Sh
+    from gigalens_tpu.profiles.mass.dpie_subhalo import DPIESubhaloSeries
+
+    rng = np.random.default_rng(7)
+    G = 20
+    catalogue = dict(
+        lum=rng.uniform(0.3, 3.0, G).astype(np.float32),
+        center_x=rng.normal(0, 6.0, G).astype(np.float32),
+        center_y=rng.normal(0, 6.0, G).astype(np.float32),
+        e1=rng.uniform(-0.2, 0.2, G).astype(np.float32),
+        e2=rng.uniform(-0.2, 0.2, G).astype(np.float32),
+    )
+    obs4 = np.abs(np.random.default_rng(3).normal(1, 0.5, (48, 48))).astype(np.float32)
+    members = DPIESubhaloSeries(lum_star=1.0, galaxy_catalogue=catalogue,
+                                chunk_size=G)
+    n_max4 = 4
+    sh4 = _Sh(n_max4)
+    phys4 = PhysicalModel([NFW_ELLIPSE(), members], [], [sh4])
+    width = len(str((n_max4 + 1) * (n_max4 + 2) // 2))
+    prior4 = Prior(dict(
+        lens_mass=[
+            prior3.tree["lens_mass"][0],
+            dict(theta_E=gld.LogNormal(np.log(0.3), 0.3),
+                 r_cut=gld.LogNormal(np.log(1.5), 0.2)),
+        ],
+        source_light=[dict(
+            beta=gld.LogNormal(np.log(0.4), 0.2),
+            center_x=gld.Normal(0, 0.3), center_y=gld.Normal(0, 0.3),
+            **{f"amp{str(i).zfill(width)}": gld.Normal(0, 5.0)
+               for i in range((n_max4 + 1) * (n_max4 + 2) // 2)})],
+    ))
+    pm4 = ForwardProbModel(prior4, obs4, background_rms=0.2, exp_time=100.0)
+    z4 = prior4.unconstrain(prior4.sample(jax.random.PRNGKey(4), bs))
+    members.set_constants(dict(r_cut=1.5, r_core=0.08))
+    for fused in (True, False):
+        cfg = SimulatorConfig(delta_pix=0.2, num_pix=48, supersample=2,
+                              kernel=None, use_fused_render=fused)
+        sim4 = LensSimulator(phys4, cfg, bs=bs)
+        if fused:
+            assert sim4._fused_spec is not None
+            members.set_grid(sim4.img_x, sim4.img_y)
+            members.set_deriv()
+            jax.block_until_ready(members._deriv_coefs)
+        fn = jax.jit(jax.grad(lambda zz: jnp.sum(pm4.log_prob(sim4, zz)[0])))
+        ms = time_fn(fn, z4, reps)
+        rows.append(dict(family=f"cluster_series_G{G}", fused=fused, bs=bs,
+                         grad_ms=round(ms, 3)))
+        print(json.dumps(rows[-1]), flush=True)
+
+    for fam in sorted({r["family"] for r in rows}):
         f = next(r for r in rows if r["family"] == fam and r["fused"])
         u = next(r for r in rows if r["family"] == fam and not r["fused"])
         print(json.dumps(dict(family=fam, speedup=round(

@@ -218,9 +218,16 @@ res = seq.SMC(start=z_map, num_particles=128, num_ensembles=1,
               auxiliar="none", seed=1)
 pts = res.particles.reshape(-1, res.particles.shape[-1])
 sim_p = LensSimulator(phys_model, sim_config, bs=pts.shape[0])
-_, chi2_post = jax.jit(lambda z: prob_model.log_prob(sim_p, z))(pts)
-print("stages", int(res.num_stages),
-      "posterior red-chi2", float(jnp.mean(chi2_post)))
+# gate on the PIXEL reduced chi2: log_prob's red_chi2 averages in the
+# n_img-point position term, whose ~0 value over a couple of points says
+# nothing about fit quality and drags the mean below the gate band
+_, chi2_pix = jax.jit(
+    lambda z: prob_model.stats_pixels(sim_p, prior.constrain(z)))(pts)
+chi2_val = float(jnp.mean(chi2_pix))
+gate_ok = 0.85 <= chi2_val <= 1.15
+print(f"stages {int(res.num_stages)}  posterior pixel red-chi2 "
+      f"{chi2_val:.3f}  gate[0.85, 1.15]: {'PASS' if gate_ok else 'FAIL'}")
+assert gate_ok, "posterior chi2 outside the acceptance band"
 """),
     MD("""
 ## 7. Series acceleration
