@@ -27,6 +27,10 @@ parser.add_argument("--scenes", type=int, default=4)
 parser.add_argument("--hmc", type=int, default=16)
 parser.add_argument("--burnin", type=int, default=200)
 parser.add_argument("--results", type=int, default=500)
+parser.add_argument("--traj", default="static", choices=["chees", "static"],
+                    help="static avoids the measured ChEES trajectory "
+                         "collapse at small per-scene chain counts")
+parser.add_argument("--init-l", type=int, default=10)
 parser.add_argument("--cpu-quick", action="store_true")
 args = parser.parse_args()
 
@@ -109,7 +113,7 @@ if args.cpu_quick:
 else:
     num_pix, ss = 60, 2
     map_n, map_steps = 64, 350
-    vi_n, vi_steps = 64, 300
+    vi_n, vi_steps = 128, 400
     n_hmc, burnin, results = args.hmc, args.burnin, args.results
 
 psfs = make_psfs(S)
@@ -151,7 +155,9 @@ log(f"SVI {t_svi:.1f}s")
 
 t0 = time.time()
 res = seq.HMC(means, trils, n_hmc=n_hmc, num_burnin_steps=burnin,
-              num_results=results, seed=2, segment_steps=250)
+              num_results=results, seed=2, segment_steps=250,
+              trajectory_adaptation=args.traj, init_l=args.init_l,
+              mass_adaptation=2)
 jax.block_until_ready(res.samples)
 t_hmc = time.time() - t0
 log(f"HMC {t_hmc:.1f}s")
