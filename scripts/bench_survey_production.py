@@ -113,7 +113,7 @@ if args.cpu_quick:
 else:
     num_pix, ss = 60, 2
     map_n, map_steps = 64, 350
-    vi_n, vi_steps = 128, 400
+    vi_n, vi_steps = 256, 400
     n_hmc, burnin, results = args.hmc, args.burnin, args.results
 
 psfs = make_psfs(S)
@@ -162,6 +162,8 @@ jax.block_until_ready(res.samples)
 t_hmc = time.time() - t0
 log(f"HMC {t_hmc:.1f}s")
 
+if _os.environ.get("GIGALENS_SURVEY_DUMP"):
+    np.save(_os.environ["GIGALENS_SURVEY_DUMP"], np.asarray(res.samples))
 T, n, d = res.samples.shape
 C = n // S
 chains = np.asarray(res.samples).reshape(T, S, C, d)
